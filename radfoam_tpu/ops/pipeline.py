@@ -1,0 +1,151 @@
+"""Pipeline: the tracer's user-facing handle.
+
+API-parity shim for the reference's ``radfoam.create_pipeline(sh_degree,
+attr_dtype)`` + ``Pipeline.trace_forward/trace_backward/trace_benchmark``
+(torch_bindings/pipeline_bindings.cpp:107-693). The model layer calls
+``ops.trace`` directly through JAX autodiff; this class exists so code
+written against the reference binding surface ports mechanically, and it is
+what the benchmark path uses.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radfoam_tpu.ops.adjacency import csr_to_padded
+from radfoam_tpu.ops.camera import Camera, cast_rays
+from radfoam_tpu.ops import trace as trace_mod
+from radfoam_tpu.ops.trace import TraceConfig, pack_rgba8
+
+
+@lru_cache(maxsize=32)
+def _jitted_forward(cfg):
+    return jax.jit(
+        lambda points, attrs, nbr_idx, rays, start, quant: trace_mod
+        ._trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant)
+    )
+
+
+@lru_cache(maxsize=32)
+def _jitted_benchmark(cfg):
+    def run(points, attrs, nbr_idx, rays, start):
+        out = trace_mod._trace_forward_impl(
+            cfg, points, attrs, nbr_idx, rays, start,
+            jnp.zeros((rays.shape[0], 0), jnp.float32),
+        )
+        return pack_rgba8(out.rgba[:, :3].astype(jnp.float32))
+
+    return jax.jit(run)
+
+
+class Pipeline:
+    """Tracing pipeline for a fixed sh_degree / attribute dtype
+    (reference CUDATracingPipeline, pipeline.cu:588-774)."""
+
+    def __init__(self, sh_degree: int, attr_dtype=jnp.float32):
+        if sh_degree not in (0, 1, 2, 3):
+            raise ValueError("Unsupported SH degree")
+        self.sh_degree = sh_degree
+        self.attr_dtype = attr_dtype
+
+    def attribute_dim(self):
+        return 1 + 3 * (1 + self.sh_degree) ** 2
+
+    def _padded(self, point_adjacency, point_adjacency_offsets):
+        return jnp.asarray(
+            csr_to_padded(
+                np.asarray(point_adjacency),
+                np.asarray(point_adjacency_offsets),
+            )
+        )
+
+    def trace_forward(self, points, attributes, point_adjacency,
+                      point_adjacency_offsets, rays, start_point,
+                      depth_quantiles=None, return_contribution=False,
+                      weight_threshold=0.001, max_intersections=1024):
+        """Returns the reference's result dict (pipeline_bindings.cpp:107-265):
+        rgba, depth, depth_indices, contribution, num_intersections."""
+        nbr_idx = self._padded(point_adjacency, point_adjacency_offsets)
+        rays = jnp.asarray(rays)
+        shape = rays.shape[:-1]
+        rays_flat = rays.reshape(-1, 6)
+        start = jnp.broadcast_to(
+            jnp.asarray(start_point), shape
+        ).reshape(-1)
+        nq = 0
+        quant = jnp.zeros((rays_flat.shape[0], 0), jnp.float32)
+        if depth_quantiles is not None:
+            nq = depth_quantiles.shape[-1]
+            quant = jnp.asarray(depth_quantiles).reshape(-1, nq)
+        cfg = TraceConfig(
+            sh_degree=self.sh_degree,
+            num_quantiles=nq,
+            weight_threshold=weight_threshold,
+            max_intersections=max_intersections,
+            return_contribution=return_contribution,
+        )
+        out = _jitted_forward(cfg)(
+            jnp.asarray(points), jnp.asarray(attributes, dtype=self.attr_dtype),
+            nbr_idx, rays_flat, start.astype(jnp.int32), quant,
+        )
+        result = {
+            "rgba": out.rgba.reshape(*shape, 4),
+            "num_intersections": out.num_intersections.reshape(shape),
+        }
+        if depth_quantiles is not None:
+            result["depth"] = out.depth.reshape(*shape, nq)
+            result["depth_indices"] = out.quantile_point_indices.reshape(
+                *shape, nq
+            )
+        if return_contribution:
+            result["contribution"] = out.contribution[:, None]
+        return result
+
+    def trace_benchmark(self, points, attributes, point_adjacency,
+                        point_adjacency_offsets, adjacent_offsets, camera,
+                        start_point, output=None, weight_threshold=0.05,
+                        max_intersections=1024):
+        """Render one camera to packed RGBA8 (pipeline.cu:472-544).
+
+        ``adjacent_offsets`` is accepted for signature parity but the fp16
+        offsets are derived on device. Returns (H, W) uint32.
+        """
+        if isinstance(camera, dict):
+            camera = Camera.from_dict(camera)
+        nbr_idx = self._padded(point_adjacency, point_adjacency_offsets)
+        rays = cast_rays(camera).reshape(-1, 6)
+        start = jnp.full((rays.shape[0],), int(start_point), jnp.int32)
+        cfg = TraceConfig(
+            sh_degree=self.sh_degree,
+            num_quantiles=0,
+            weight_threshold=weight_threshold,
+            max_intersections=max_intersections,
+            chunk_size=1 << 17,
+        )
+        img = _jitted_benchmark(cfg)(
+            jnp.asarray(points),
+            jnp.asarray(attributes, dtype=self.attr_dtype),
+            nbr_idx, rays, start,
+        )
+        return img.reshape(camera.height, camera.width)
+
+
+def create_pipeline(sh_degree: int, attr_dtype=jnp.float32):
+    """Factory (reference pipeline.cu:776-805). attr_dtype may be a jnp/torch
+    dtype or the strings 'float32'/'float16'."""
+    if isinstance(attr_dtype, str):
+        attr_dtype = {"float32": jnp.float32, "float16": jnp.float16}[
+            attr_dtype
+        ]
+    try:
+        import torch
+
+        if attr_dtype in (torch.float32, torch.float16):
+            attr_dtype = (
+                jnp.float32 if attr_dtype == torch.float32 else jnp.float16
+            )
+    except Exception:
+        pass
+    return Pipeline(sh_degree, attr_dtype)

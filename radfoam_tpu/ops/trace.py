@@ -1,0 +1,602 @@
+"""Differentiable Voronoi-cell ray tracing — the engine.
+
+This is the TPU-native equivalent of the reference's CUDA megakernels
+(src/tracing/pipeline.cu): the per-ray walk through the Voronoi adjacency
+graph with alpha compositing, transmittance-quantile depth extraction,
+per-point contribution accumulation, and the handwritten analytic backward
+pass (attribute gradients + 3-point position stencil).
+
+Design (SURVEY.md §7.1):
+  * The irregular CSR walk becomes a vectorized walk over a fixed-degree
+    padded neighbor table ``nbr_idx (N, K)`` (padding = self index, rejected
+    by the same ``offset . dir > 0`` test that rejects backfacing faces,
+    reference tracing_utils.cuh:62).
+  * The data-dependent walk length (<= max_intersections,
+    pipeline.h:15-19) becomes a ``lax.while_loop`` over a ray chunk with a
+    per-lane active mask; rays are processed in chunks so finished chunks
+    retire early.
+  * fp16 neighbor-offset tables (the prefetch_adjacent_diff bandwidth trick,
+    pipeline.cu:546-586) are recomputed on device at every call, exactly as
+    the reference does (pipeline.cu:613-620, 667-674).
+  * CUDA atomicAdd gradient scatter (pipeline.cu:240, 306, 322-328) becomes
+    deterministic XLA scatter-add — an improvement: gradients are exactly
+    reproducible run to run.
+
+The backward pass replicates the reference formulas line for line
+(pipeline.cu:219-331), including its quirks (the unflushed gradient
+accumulators for the final two cells of a walk, and the dt0/d current term
+evaluated against a zero prev_point on the first cell), because those
+formulas are the spec that training dynamics were tuned against.
+
+Walk-step math (tracing_utils.cuh:43-67): for current cell p with neighbor
+offset v = q - p, the exit face is the perpendicular bisector plane with
+origin p + v/2 and normal v; the ray (o, d) hits it at
+``t = [(p - o) . v + |v|^2 / 2] / (v . d)``, and the exit face is the min-t
+face among those with v . d > 0.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radfoam_tpu.ops.sh import sh_basis, sh_to_rgb, rgb_grad_to_sh
+from radfoam_tpu.ops.adjacency import neighbor_offsets_f16
+
+
+class TraceConfig(NamedTuple):
+    """Static trace configuration (hashable; reference TraceSettings,
+    src/tracing/pipeline.h:10-20, plus vectorization knobs)."""
+
+    sh_degree: int = 3
+    num_quantiles: int = 0
+    weight_threshold: float = 0.001
+    max_intersections: int = 1024
+    return_contribution: bool = False
+    chunk_size: int = 65536
+
+
+class TraceOutput(NamedTuple):
+    rgba: jax.Array  # (R, 4)
+    depth: jax.Array  # (R, Q)
+    quantile_point_indices: jax.Array  # (R, Q) int32, -1 = not reached
+    num_intersections: jax.Array  # (R,) int32
+    contribution: jax.Array  # (N,) accumulated weights (zeros if disabled)
+
+
+# ---------------------------------------------------------------------------
+# shared walk-step geometry
+
+
+def _exit_face(points, nbr_idx, nbr_off, cell, origins, dirs):
+    """One step of the cell walk: find exit face for each lane.
+
+    Returns (t1, next_idx, has_exit, p) where p is the current cell's site.
+    """
+    offs = jnp.take(nbr_off, cell, axis=0)[..., :3].astype(jnp.float32)
+    nbrs = jnp.take(nbr_idx, cell, axis=0)  # (R, K)
+    p = jnp.take(points, cell, axis=0)  # (R, 3)
+
+    dp = jnp.einsum("rkd,rd->rk", offs, dirs)
+    num = jnp.einsum("rkd,rd->rk", offs, p - origins) + 0.5 * jnp.sum(
+        offs * offs, axis=-1
+    )
+    t = num / dp
+    t = jnp.where((dp > 0.0) & jnp.isfinite(t), t, jnp.inf)
+
+    face = jnp.argmin(t, axis=-1)
+    t1 = jnp.take_along_axis(t, face[:, None], axis=1)[:, 0]
+    next_idx = jnp.take_along_axis(nbrs, face[:, None], axis=1)[:, 0]
+    has_exit = jnp.isfinite(t1)
+    return t1, next_idx, has_exit, p
+
+
+def _load_cell_attrs(attrs, cell, basis):
+    """Gather + decode a cell's attributes (reference pipeline.cu:47-55)."""
+    a = jnp.take(attrs, cell, axis=0).astype(jnp.float32)  # (R, A)
+    s = a[:, -1]
+    rgb = sh_to_rgb(basis, a[:, :-1])
+    rgb = jnp.where((s > 1e-6)[:, None], rgb, 0.0)
+    return s, rgb
+
+
+def _cell_intersection_grad(primal, opposite, origins, dirs):
+    """d t / d primal for the bisector-face intersection
+    (reference tracing_utils.cuh:91-103)."""
+    face_origin = 0.5 * (primal + opposite)
+    n = opposite - primal
+    num = jnp.sum((face_origin - origins) * n, axis=-1, keepdims=True)
+    dp = jnp.sum(n * dirs, axis=-1, keepdims=True)
+    return (num * dirs + dp * (origins - primal)) / (dp * dp)
+
+
+# ---------------------------------------------------------------------------
+# forward walk over one chunk
+
+
+def _forward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
+                   contrib):
+    R = rays.shape[0]
+    Q = cfg.num_quantiles
+    origins = rays[:, :3]
+    dirs = rays[:, 3:6]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    basis = sh_basis(dirs, cfg.sh_degree)
+
+    state = dict(
+        cell=start.astype(jnp.int32),
+        t0=jnp.zeros((R,), jnp.float32),
+        T=jnp.ones((R,), jnp.float32),
+        rgb=jnp.zeros((R, 3), jnp.float32),
+        qidx=jnp.zeros((R,), jnp.int32),
+        qdepth=jnp.full((R, Q), -1.0, jnp.float32),
+        qpoint=jnp.full((R, Q), -1, jnp.int32),
+        active=jnp.ones((R,), bool),
+        n=jnp.zeros((R,), jnp.int32),
+        overflow=jnp.zeros((R,), bool),
+        contrib=contrib,
+    )
+
+    qslots = jnp.arange(Q, dtype=jnp.int32)[None, :]
+
+    def cond(st):
+        return jnp.any(st["active"])
+
+    def body(st):
+        act = st["active"]
+        t1, next_idx, has_exit, p = _exit_face(
+            points, nbr_idx, nbr_off, st["cell"], origins, dirs
+        )
+        run = act & has_exit & (t1 > st["t0"])
+
+        s, rgb_p = _load_cell_attrs(attrs, st["cell"], basis)
+        delta = jnp.maximum(t1 - st["t0"], 0.0)
+        alpha = jnp.where(run, 1.0 - jnp.exp(-s * delta), 0.0)
+        wgt = st["T"] * alpha
+        # gate the whole contribution: rgb_p is NaN for degenerate
+        # (zero-direction) rays and 0 * NaN would poison the accumulator
+        rgb = st["rgb"] + jnp.where(run[:, None], wgt[:, None] * rgb_p, 0.0)
+        T_next = st["T"] * (1.0 - alpha)
+
+        if cfg.return_contribution:
+            st["contrib"] = st["contrib"].at[st["cell"]].add(
+                jnp.where(run, wgt, 0.0)
+            )
+
+        qidx = st["qidx"]
+        qdepth, qpoint = st["qdepth"], st["qpoint"]
+        if Q > 0:
+            # quantiles are sorted descending per ray (train.py:176-180), so
+            # the vectorized hit test matches the sequential while loop at
+            # pipeline.cu:86-97.
+            hit = (
+                run[:, None]
+                & (T_next[:, None] < quant)
+                & (qslots >= qidx[:, None])
+            )
+            dq = st["t0"][:, None] + jnp.log(st["T"][:, None] / quant) / s[
+                :, None
+            ]
+            qdepth = jnp.where(hit, dq, qdepth)
+            qpoint = jnp.where(hit, st["cell"][:, None], qpoint)
+            qidx = qidx + hit.sum(axis=1).astype(jnp.int32)
+
+        n = st["n"] + act.astype(jnp.int32)
+        cont = jnp.where(run, T_next > cfg.weight_threshold, True)
+        would_continue = act & has_exit & cont
+        active = would_continue & (n < cfg.max_intersections)
+        overflow = st["overflow"] | (
+            would_continue & (n >= cfg.max_intersections)
+        )
+
+        mv = act & has_exit
+        return dict(
+            cell=jnp.where(mv, next_idx, st["cell"]),
+            t0=jnp.where(mv, jnp.maximum(st["t0"], t1), st["t0"]),
+            T=jnp.where(run, T_next, st["T"]),
+            rgb=rgb,
+            qidx=qidx,
+            qdepth=qdepth,
+            qpoint=qpoint,
+            active=active,
+            n=n,
+            overflow=overflow,
+            contrib=st["contrib"],
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    rgba = jnp.concatenate(
+        [st["rgb"], (1.0 - st["T"])[:, None]], axis=-1
+    )
+    n_out = st["n"] + st["overflow"].astype(jnp.int32)
+    return rgba, st["qdepth"], st["qpoint"], n_out, st["contrib"]
+
+
+# ---------------------------------------------------------------------------
+# backward walk over one chunk (reference pipeline.cu:133-343)
+
+
+def _backward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
+                    rgba, qpoint, g_rgba, g_depth, g_ray_err, accs):
+    R = rays.shape[0]
+    Q = cfg.num_quantiles
+    origins = rays[:, :3]
+    dirs = rays[:, 3:6]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    basis = sh_basis(dirs, cfg.sh_degree)
+    points_grad, attr_grad, point_err = accs
+
+    # current_depth_grad pre-pass (pipeline.cu:192-207): sum of g_i / s_i
+    # over quantiles that were reached in the forward pass.
+    if Q > 0:
+        qvalid = qpoint >= 0
+        s_q = jnp.take(attrs[:, -1], jnp.maximum(qpoint, 0), axis=0).astype(
+            jnp.float32
+        )
+        cdg = jnp.sum(jnp.where(qvalid, g_depth / s_q, 0.0), axis=1)
+    else:
+        cdg = jnp.zeros((R,), jnp.float32)
+
+    state = dict(
+        cell=start.astype(jnp.int32),
+        t0=jnp.zeros((R,), jnp.float32),
+        T=jnp.ones((R,), jnp.float32),
+        acc_rgb=jnp.zeros((R, 3), jnp.float32),
+        qidx=jnp.zeros((R,), jnp.int32),
+        cdg=cdg,
+        prev_idx=jnp.full((R,), -1, jnp.int32),
+        prev_point=jnp.zeros((R, 3), jnp.float32),
+        prev_grad=jnp.zeros((R, 3), jnp.float32),
+        cur_grad=jnp.zeros((R, 3), jnp.float32),
+        next_grad=jnp.zeros((R, 3), jnp.float32),
+        active=jnp.ones((R,), bool),
+        n=jnp.zeros((R,), jnp.int32),
+        points_grad=points_grad,
+        attr_grad=attr_grad,
+        point_err=point_err,
+    )
+
+    qslots = jnp.arange(Q, dtype=jnp.int32)[None, :]
+
+    def cond(st):
+        return jnp.any(st["active"])
+
+    def body(st):
+        act = st["active"]
+        t1, next_idx, has_exit, p = _exit_face(
+            points, nbr_idx, nbr_off, st["cell"], origins, dirs
+        )
+        run = act & has_exit & (t1 > st["t0"])
+        runf = run.astype(jnp.float32)
+
+        s, rgb_p = _load_cell_attrs(attrs, st["cell"], basis)
+        delta = jnp.maximum(t1 - st["t0"], 0.0)
+        alpha = jnp.where(run, 1.0 - jnp.exp(-s * delta), 0.0)
+        wgt = st["T"] * alpha
+        dalpha_ds = delta * (1.0 - alpha)
+        dalpha_ddt = jnp.where(delta > 0.0, s * (1.0 - alpha), 0.0)
+
+        acc_rgb = st["acc_rgb"] + jnp.where(
+            run[:, None], wgt[:, None] * rgb_p, 0.0
+        )
+
+        if point_err is not None:
+            st["point_err"] = st["point_err"].at[st["cell"]].add(
+                jnp.where(run, wgt * g_ray_err, 0.0)
+            )
+
+        dL_drgb_p = g_rgba[:, :3] * wgt[:, None]
+
+        rgb_rest = (rgba[:, :3] - acc_rgb) / (
+            st["T"] * (1.0 - alpha + 1e-6)
+        )[:, None]
+        dL_dalpha = st["T"] * jnp.sum(
+            (rgb_p - rgb_rest) * g_rgba[:, :3], axis=-1
+        )
+        dL_dalpha = dL_dalpha + (1.0 - rgba[:, 3]) * g_rgba[:, 3] / (
+            1.0 - alpha + 1e-6
+        )
+
+        dL_ds = dL_dalpha * dalpha_ds
+        dL_ddt = dL_dalpha * dalpha_ddt
+        dL_dt0 = jnp.zeros((R,), jnp.float32)
+
+        T_next = st["T"] * (1.0 - alpha)
+        qidx = st["qidx"]
+        cdg_v = st["cdg"]
+        if Q > 0:
+            hit = (
+                run[:, None]
+                & (T_next[:, None] < quant)
+                & (qslots >= qidx[:, None])
+            )
+            dgi = jnp.where(hit, g_depth / s[:, None], 0.0)
+            dL_dt0 = dL_dt0 + dgi.sum(axis=1)
+            dL_ds = dL_ds - jnp.sum(
+                dgi * jnp.log(st["T"][:, None] / quant), axis=1
+            ) / s
+            cdg_v = cdg_v - dgi.sum(axis=1)
+            qidx = qidx + hit.sum(axis=1).astype(jnp.int32)
+            not_done = (qidx < Q) & run
+            dL_ds = dL_ds + jnp.where(not_done, -delta * cdg_v, 0.0)
+            dL_ddt = dL_ddt + jnp.where(not_done, -s * cdg_v, 0.0)
+
+        dL_dt0 = dL_dt0 - dL_ddt
+        dL_dt1 = dL_ddt
+
+        # 3-point position stencil (pipeline.cu:284-313)
+        next_point = jnp.take(points, next_idx, axis=0)
+        prev_valid = (st["prev_idx"] >= 0)[:, None]
+        dt0_dprev = jnp.where(
+            prev_valid,
+            _cell_intersection_grad(st["prev_point"], p, origins, dirs),
+            0.0,
+        )
+        dt1_dcur = _cell_intersection_grad(p, next_point, origins, dirs)
+        dt0_dcur = _cell_intersection_grad(p, st["prev_point"], origins, dirs)
+        dt1_dnext = _cell_intersection_grad(next_point, p, origins, dirs)
+
+        prev_grad = st["prev_grad"] + runf[:, None] * dL_dt0[:, None] * dt0_dprev
+        cur_grad = st["cur_grad"] + runf[:, None] * (
+            dL_dt0[:, None] * dt0_dcur + dL_dt1[:, None] * dt1_dcur
+        )
+        next_grad = st["next_grad"] + runf[:, None] * dL_dt1[:, None] * dt1_dnext
+
+        # flush the (now complete) gradient of the previous cell's point
+        flush = run & (st["prev_idx"] >= 0)
+        st["points_grad"] = st["points_grad"].at[
+            jnp.where(flush, st["prev_idx"], 0)
+        ].add(jnp.where(flush[:, None], prev_grad, 0.0))
+
+        # attribute gradients (pipeline.cu:317-328); the ReLU clamp in
+        # sh_to_rgb backpropagates as a zero where the clamped color is 0.
+        dL_drgb_p = jnp.where(rgb_p == 0.0, 0.0, dL_drgb_p)
+        sh_g = rgb_grad_to_sh(basis, dL_drgb_p)
+        ag = jnp.concatenate([sh_g, dL_ds[:, None]], axis=-1)
+        st["attr_grad"] = st["attr_grad"].at[st["cell"]].add(
+            jnp.where(run[:, None], ag, 0.0).astype(st["attr_grad"].dtype)
+        )
+
+        n = st["n"] + act.astype(jnp.int32)
+        cont = jnp.where(run, T_next > cfg.weight_threshold, True)
+        active = act & has_exit & cont & (n < cfg.max_intersections)
+        mv = act & has_exit
+
+        return dict(
+            cell=jnp.where(mv, next_idx, st["cell"]),
+            t0=jnp.where(mv, jnp.maximum(st["t0"], t1), st["t0"]),
+            T=jnp.where(run, T_next, st["T"]),
+            acc_rgb=acc_rgb,
+            qidx=qidx,
+            cdg=jnp.where(run, cdg_v, st["cdg"]),
+            prev_idx=jnp.where(run, st["cell"], st["prev_idx"]),
+            prev_point=jnp.where(run[:, None], p, st["prev_point"]),
+            prev_grad=jnp.where(run[:, None], cur_grad, st["prev_grad"]),
+            cur_grad=jnp.where(run[:, None], next_grad, st["cur_grad"]),
+            next_grad=jnp.where(run[:, None], 0.0, st["next_grad"]),
+            active=active,
+            n=n,
+            points_grad=st["points_grad"],
+            attr_grad=st["attr_grad"],
+            point_err=st["point_err"],
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st["points_grad"], st["attr_grad"], st["point_err"]
+
+
+# ---------------------------------------------------------------------------
+# chunked drivers
+
+
+def _pad_chunks(cfg, arrs, R):
+    chunk = min(cfg.chunk_size, max(R, 1))
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+            )
+        out.append(a.reshape(n_chunks, chunk, *a.shape[1:]))
+    return out, n_chunks, chunk
+
+
+def _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant):
+    R = rays.shape[0]
+    nbr_off = neighbor_offsets_f16(points, nbr_idx)
+    contrib0 = jnp.zeros((points.shape[0],), jnp.float32)
+    (rays_c, start_c, quant_c), n_chunks, chunk = _pad_chunks(
+        cfg, [rays, start, quant], R
+    )
+
+    if n_chunks == 1:
+        rgba, qd, qp, n, contrib = _forward_chunk(
+            cfg, points, attrs, nbr_idx, nbr_off,
+            rays_c[0], start_c[0], quant_c[0], contrib0,
+        )
+    else:
+        def scan_body(contrib, xs):
+            rays_i, start_i, quant_i = xs
+            rgba, qd, qp, n, contrib = _forward_chunk(
+                cfg, points, attrs, nbr_idx, nbr_off,
+                rays_i, start_i, quant_i, contrib,
+            )
+            return contrib, (rgba, qd, qp, n)
+
+        contrib, (rgba, qd, qp, n) = jax.lax.scan(
+            scan_body, contrib0, (rays_c, start_c, quant_c)
+        )
+        rgba = rgba.reshape(-1, 4)
+        qd = qd.reshape(-1, cfg.num_quantiles)
+        qp = qp.reshape(-1, cfg.num_quantiles)
+        n = n.reshape(-1)
+
+    return TraceOutput(
+        rgba=rgba[:R].astype(attrs.dtype),
+        depth=qd[:R],
+        quantile_point_indices=qp[:R],
+        num_intersections=n[:R],
+        contribution=contrib,
+    )
+
+
+def _trace_backward_impl(cfg, points, attrs, nbr_idx, rays, start, quant,
+                         rgba, qpoint, g_rgba, g_depth, ray_error=None):
+    R = rays.shape[0]
+    nbr_off = neighbor_offsets_f16(points, nbr_idx)
+    N = points.shape[0]
+    A = attrs.shape[1]
+    accs = (
+        jnp.zeros((N, 3), jnp.float32),
+        jnp.zeros((N, A), jnp.float32),
+        jnp.zeros((N,), jnp.float32) if ray_error is not None else None,
+    )
+    per_ray = [rays, start, quant, rgba.astype(jnp.float32),
+               qpoint, g_rgba.astype(jnp.float32), g_depth]
+    if ray_error is not None:
+        per_ray.append(ray_error.astype(jnp.float32))
+    padded, n_chunks, chunk = _pad_chunks(cfg, per_ray, R)
+    if ray_error is not None:
+        (rays_c, start_c, quant_c, rgba_c, qp_c, gr_c, gd_c, err_c) = padded
+    else:
+        (rays_c, start_c, quant_c, rgba_c, qp_c, gr_c, gd_c) = padded
+        err_c = None
+
+    if n_chunks == 1:
+        accs = _backward_chunk(
+            cfg, points, attrs, nbr_idx, nbr_off,
+            rays_c[0], start_c[0], quant_c[0], rgba_c[0], qp_c[0],
+            gr_c[0], gd_c[0], err_c[0] if err_c is not None else None, accs,
+        )
+    else:
+        def scan_body(accs, xs):
+            if err_c is not None:
+                rays_i, start_i, quant_i, rgba_i, qp_i, gr_i, gd_i, e_i = xs
+            else:
+                rays_i, start_i, quant_i, rgba_i, qp_i, gr_i, gd_i = xs
+                e_i = None
+            accs = _backward_chunk(
+                cfg, points, attrs, nbr_idx, nbr_off,
+                rays_i, start_i, quant_i, rgba_i, qp_i, gr_i, gd_i, e_i,
+                accs,
+            )
+            return accs, None
+
+        xs = (rays_c, start_c, quant_c, rgba_c, qp_c, gr_c, gd_c)
+        if err_c is not None:
+            xs = xs + (err_c,)
+        accs, _ = jax.lax.scan(scan_body, accs, xs)
+
+    points_grad, attr_grad, point_err = accs
+    # non-finite gradient scrub (reference render.py:98-99)
+    points_grad = jnp.where(jnp.isfinite(points_grad), points_grad, 0.0)
+    attr_grad = jnp.where(jnp.isfinite(attr_grad), attr_grad, 0.0)
+    return points_grad, attr_grad, point_err
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wiring
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trace(cfg, points, attrs, nbr_idx, rays, start, quant):
+    return _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant)
+
+
+def _trace_fwd(cfg, points, attrs, nbr_idx, rays, start, quant):
+    out = _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant)
+    res = (points, attrs, nbr_idx, rays, start, quant, out.rgba,
+           out.quantile_point_indices)
+    return out, res
+
+
+def _trace_bwd(cfg, res, cot):
+    points, attrs, nbr_idx, rays, start, quant, rgba, qpoint = res
+    g_rgba = cot.rgba
+    g_depth = cot.depth
+    points_grad, attr_grad, _ = _trace_backward_impl(
+        cfg, points, attrs, nbr_idx, rays, start, quant, rgba, qpoint,
+        g_rgba, g_depth,
+    )
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (
+        points_grad,
+        attr_grad.astype(attrs.dtype),
+        f0(nbr_idx),
+        jnp.zeros_like(rays),
+        f0(start),
+        jnp.zeros_like(quant),
+    )
+
+
+_trace.defvjp(_trace_fwd, _trace_bwd)
+
+
+def trace(points, attrs, nbr_idx, rays, start_point, depth_quantiles=None,
+          config=TraceConfig()):
+    """Differentiable trace of a flat ray batch.
+
+    Args:
+      points: (N, 3) f32 Voronoi sites (spatially sorted for locality).
+      attrs: (N, 1 + 3*(deg+1)^2) activated attributes [sh..., density],
+        f32 or f16 (reference attr_dtype, pipeline.cu:776-805).
+      nbr_idx: (N, K) int32 padded neighbor table.
+      rays: (R, 6) [origin, direction] (direction need not be unit).
+      start_point: (R,) int starting cell per ray.
+      depth_quantiles: (R, Q) descending per-ray transmittance quantiles, or
+        None (Q must match config.num_quantiles).
+      config: TraceConfig statics.
+
+    Returns:
+      TraceOutput. Gradients flow to points and attrs only (the reference
+      returns ray gradients from trace_backward but discards them,
+      render.py:112-122).
+    """
+    rays = jnp.asarray(rays)
+    R = rays.shape[0]
+    if depth_quantiles is None:
+        assert config.num_quantiles == 0
+        depth_quantiles = jnp.zeros((R, 0), jnp.float32)
+    else:
+        assert depth_quantiles.shape[-1] == config.num_quantiles
+    start_point = jnp.asarray(start_point).astype(jnp.int32)
+    return _trace(config, points, attrs, nbr_idx, rays, start_point,
+                  depth_quantiles)
+
+
+def trace_point_error(points, attrs, nbr_idx, rays, start_point, rgba,
+                      ray_error, config=TraceConfig()):
+    """Scatter a per-ray scalar error into per-point error (the reference's
+    ErrorBox side channel, pipeline.cu:239-241 / render.py:4-8). Kept as an
+    explicit function since JAX has no mutable autograd side channels; the
+    training loop uses position-gradient norms instead
+    (scene.py:538-540), so this is API-completeness only.
+    """
+    R = rays.shape[0]
+    quant = jnp.zeros((R, 0), jnp.float32)
+    qpoint = jnp.zeros((R, 0), jnp.int32)
+    g_rgba = jnp.zeros((R, 4), jnp.float32)
+    g_depth = jnp.zeros((R, 0), jnp.float32)
+    cfg = config._replace(num_quantiles=0)
+    _, _, point_err = _trace_backward_impl(
+        cfg, points, attrs, nbr_idx, rays,
+        jnp.asarray(start_point).astype(jnp.int32), quant,
+        rgba, qpoint, g_rgba, g_depth, ray_error=ray_error,
+    )
+    return point_err
+
+
+def pack_rgba8(rgb, alpha=None):
+    """Pack float rgb(a) into uint32 RGBA8 (reference make_rgba8,
+    tracing_utils.cuh:105-115). Used by the benchmark/viewer paths."""
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    if alpha is None:
+        alpha = jnp.ones(rgb.shape[:-1], rgb.dtype)
+    a = jnp.clip(alpha, 0.0, 1.0)
+    to8 = lambda x: (x * 255.0).astype(jnp.uint32)
+    r, g, b = to8(rgb[..., 0]), to8(rgb[..., 1]), to8(rgb[..., 2])
+    return (to8(a) << 24) | (b << 16) | (g << 8) | r

@@ -1,0 +1,120 @@
+"""Triangulation invariants the reference enforces at runtime (SURVEY.md §4):
+Delaunay empty-circumsphere property, CSR symmetry, duplicate detection,
+permutation bookkeeping."""
+
+import numpy as np
+import pytest
+
+from radfoam_tpu.delaunay import Triangulation, TriangulationFailedError
+from radfoam_tpu.delaunay.api import tets_to_point_adjacency
+from radfoam_tpu.ops.adjacency import csr_to_padded, padded_to_csr
+
+
+def make_points(rng, n=200):
+    return rng.normal(size=(n, 3)).astype(np.float32)
+
+
+def test_all_points_have_neighbors(rng):
+    tri = Triangulation(make_points(rng))
+    offsets = tri.point_adjacency_offsets().astype(np.int64)
+    degrees = offsets[1:] - offsets[:-1]
+    assert (degrees > 0).all()
+
+
+def test_adjacency_symmetry(rng):
+    tri = Triangulation(make_points(rng))
+    adj = tri.point_adjacency().astype(np.int64)
+    offsets = tri.point_adjacency_offsets().astype(np.int64)
+    n = offsets.shape[0] - 1
+    degrees = offsets[1:] - offsets[:-1]
+    src = np.repeat(np.arange(n), degrees)
+    fwd = set(map(tuple, np.stack([src, adj], axis=1)))
+    bwd = set(map(tuple, np.stack([adj, src], axis=1)))
+    assert fwd == bwd
+
+
+def test_neighbors_sorted_within_row(rng):
+    tri = Triangulation(make_points(rng))
+    adj = tri.point_adjacency().astype(np.int64)
+    offsets = tri.point_adjacency_offsets().astype(np.int64)
+    for i in range(0, offsets.shape[0] - 1, 17):
+        row = adj[offsets[i] : offsets[i + 1]]
+        assert (np.diff(row) > 0).all()
+
+
+def test_empty_circumsphere_property(rng):
+    """Sampled tets must have (near-)empty circumspheres — the defining
+    Delaunay invariant (reference exact_tree_ops.cuh:128-282)."""
+    pts = make_points(rng, 120).astype(np.float64)
+    tri = Triangulation(pts)
+    order = tri.permutation()
+    sorted_pts = pts[order]
+    tets = tri.tets()
+    take = rng.choice(tets.shape[0], size=min(50, tets.shape[0]), replace=False)
+    for t in tets[take]:
+        a, b, c, d = sorted_pts[t]
+        # circumcenter via linear system
+        A = 2 * np.stack([b - a, c - a, d - a])
+        rhs = np.array(
+            [b @ b - a @ a, c @ c - a @ a, d @ d - a @ a]
+        )
+        center = np.linalg.solve(A, rhs)
+        r2 = np.sum((a - center) ** 2)
+        d2 = np.sum((sorted_pts - center) ** 2, axis=1)
+        inside = d2 < r2 * (1 - 1e-9)
+        inside[t] = False
+        assert inside.sum() == 0
+
+
+def test_duplicates_raise(rng):
+    pts = make_points(rng, 64)
+    pts[10] = pts[50]
+    with pytest.raises(TriangulationFailedError):
+        Triangulation(pts)
+
+
+def test_min_points_enforced(rng):
+    with pytest.raises(ValueError):
+        Triangulation(make_points(rng, 8))
+
+
+def test_incremental_keeps_order(rng):
+    pts = make_points(rng)
+    tri = Triangulation(pts)
+    sorted_pts = pts[tri.permutation()]
+    moved = sorted_pts + rng.normal(size=sorted_pts.shape).astype(
+        np.float32
+    ) * 1e-3
+    resorted = tri.rebuild(moved, incremental=True)
+    assert resorted is False
+    # adjacency indices refer to the given (unsorted) order
+    adj = tri.point_adjacency()
+    assert adj.max() < pts.shape[0]
+
+
+def test_full_rebuild_returns_sorted(rng):
+    pts = make_points(rng)
+    tri = Triangulation(pts)
+    assert tri.permutation() is not None
+    resorted = tri.rebuild(pts, incremental=False)
+    assert resorted is True
+
+
+def test_csr_padded_roundtrip(rng):
+    tri = Triangulation(make_points(rng))
+    adj = tri.point_adjacency()
+    offsets = tri.point_adjacency_offsets()
+    table = csr_to_padded(adj, offsets)
+    adj2, offsets2 = padded_to_csr(table)
+    np.testing.assert_array_equal(adj.astype(np.int64), adj2)
+    np.testing.assert_array_equal(offsets.astype(np.int64), offsets2)
+
+
+def test_tets_to_adjacency_simple():
+    # two tets sharing a face (0,1,2)
+    tets = np.array([[0, 1, 2, 3], [0, 1, 2, 4]])
+    adj, offsets = tets_to_point_adjacency(tets, 5)
+    # point 0 neighbors: 1,2,3,4
+    np.testing.assert_array_equal(adj[offsets[0] : offsets[1]], [1, 2, 3, 4])
+    # point 3 neighbors: 0,1,2 (not 4)
+    np.testing.assert_array_equal(adj[offsets[3] : offsets[4]], [0, 1, 2])
