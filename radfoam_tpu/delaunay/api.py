@@ -175,6 +175,7 @@ class Triangulation:
     def _check_duplicates(pts, sorted_hint=False):
         # reference check_duplicates (delaunay.cu:9-30): exact-equal points
         # make the triangulation ill-defined -> fail so the caller jitters.
+        pts = np.ascontiguousarray(pts)
         view = pts.view([("x", np.float32), ("y", np.float32), ("z", np.float32)])
         uniq = np.unique(view)
         if uniq.shape[0] != pts.shape[0]:

@@ -1,0 +1,286 @@
+"""Host-side training orchestration.
+
+Reproduces the reference training loop (train.py:29-313): multi-resolution
+downsample schedule, triangulation-update cadence (period 1 growing by 2 up
+to 100), linear-growth densification schedule targeting final_points by
+densify_until, point freeze, periodic eval, TensorBoard scalars, and final
+checkpoint export.
+"""
+
+import gc
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import tqdm
+
+from radfoam_tpu.models.scene import RadFoamScene
+from radfoam_tpu.ops.trace import TraceConfig
+from radfoam_tpu.train.step import (
+    StepConfig,
+    init_opt_state,
+    make_train_step,
+    make_eval_render,
+    make_error_map_step,
+)
+from radfoam_tpu.utils.math import psnr
+
+
+def camera_start_points(model, data_handler):
+    """Per-image trace start cells from each camera origin."""
+    origins = np.asarray(data_handler.rays[:, 0, 0, :3])
+    return model.get_starting_point(jnp.asarray(origins))
+
+
+def test_render(model, step_cfg, test_data_handler, out_dir=None,
+                save_images=False, iteration=None, max_views=None):
+    """Render the test split, return average PSNR
+    (reference train.py:104-147)."""
+    render = make_eval_render(step_cfg)
+    rays = test_data_handler.rays
+    starts = np.asarray(camera_start_points(model, test_data_handler))
+
+    n_views = rays.shape[0] if max_views is None else min(
+        rays.shape[0], max_views
+    )
+    psnr_list = []
+    for i in range(n_views):
+        ray_batch = jnp.asarray(rays[i])
+        rgb_batch = jnp.asarray(test_data_handler.rgbs[i])
+        rgb_out = render(
+            model.params, model.nbr_idx, ray_batch, int(starts[i])
+        )
+        img_psnr = float(psnr(rgb_out, rgb_batch))
+        psnr_list.append(img_psnr)
+
+        if save_images and out_dir is not None:
+            from PIL import Image
+
+            rgb_np = np.asarray(rgb_out)
+            gt_np = np.asarray(rgb_batch)
+            error = np.uint8(np.abs(rgb_np - gt_np) * 255)
+            trip = np.concatenate(
+                [np.uint8(rgb_np * 255), np.uint8(gt_np * 255), error],
+                axis=1,
+            )
+            Image.fromarray(trip).save(
+                f"{out_dir}/test/rgb_{i:03d}_psnr_{img_psnr:.3f}.png"
+            )
+
+    average_psnr = sum(psnr_list) / len(psnr_list)
+    if save_images and out_dir is not None:
+        with open(f"{out_dir}/metrics.txt", "w") as f:
+            f.write(f"Average PSNR: {average_psnr}")
+    return average_psnr
+
+
+def collect_error_map(model, step_cfg, data_handler, downsample=2, rng=None):
+    """Accumulate per-point error (position-grad norm) and max contribution
+    over all train views (reference scene.py:497-548)."""
+    rng = rng or np.random.default_rng(0)
+    err_step = make_error_map_step(step_cfg)
+    rays = data_handler.rays
+    rgbs = data_handler.rgbs
+    starts = np.asarray(camera_start_points(model, data_handler))
+
+    C = model.capacity
+    err = jnp.zeros((C,), jnp.float32)
+    contrib = jnp.zeros((C,), jnp.float32)
+    H, W = rays.shape[1], rays.shape[2]
+    h2, w2 = H // downsample, W // downsample
+
+    for i in range(rays.shape[0]):
+        d0, d1 = rng.integers(0, downsample, size=2)
+        sub_rays = rays[i, d0 : d0 + h2 * downsample : downsample,
+                        d1 : d1 + w2 * downsample : downsample]
+        sub_rgbs = rgbs[i, d0 : d0 + h2 * downsample : downsample,
+                        d1 : d1 + w2 * downsample : downsample]
+        err, contrib = err_step(
+            model.params, model.nbr_idx,
+            jnp.asarray(sub_rays), jnp.asarray(sub_rgbs),
+            int(starts[i]), err, contrib,
+        )
+    return np.asarray(err), np.asarray(contrib)
+
+
+def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
+          data_handler_cls=None, writer=None):
+    """Full training run; returns (model, final average PSNR, out_dir)."""
+    from radfoam_tpu.data import DataHandler
+
+    handler_cls = data_handler_cls or DataHandler
+
+    out_dir = None
+    if not pipeline_args.debug:
+        import uuid
+        import yaml
+
+        if len(pipeline_args.experiment_name) == 0:
+            experiment_name = f"{dataset_args.scene}@{str(uuid.uuid4())[:8]}"
+        else:
+            experiment_name = pipeline_args.experiment_name
+        out_dir = f"output/{experiment_name}"
+        os.makedirs(f"{out_dir}/test", exist_ok=True)
+        with open(f"{out_dir}/config.yaml", "w") as f:
+            yaml.dump(vars(args), f, default_flow_style=False)
+        if writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                writer = SummaryWriter(out_dir, purge_step=0)
+            except Exception:
+                writer = None
+
+    iter2downsample = dict(
+        zip(dataset_args.downsample_iterations, dataset_args.downsample)
+    )
+    train_data_handler = handler_cls(dataset_args, rays_per_batch=1_000_000)
+    downsample = iter2downsample[0]
+    train_data_handler.reload(split="train", downsample=downsample)
+
+    test_data_handler = handler_cls(dataset_args, rays_per_batch=0)
+    test_data_handler.reload(
+        split="test", downsample=min(dataset_args.downsample)
+    )
+
+    model = RadFoamScene(
+        args=model_args,
+        points=train_data_handler.points3D,
+        points_colors=train_data_handler.points3D_colors,
+    )
+    model.declare_optimizer(
+        args=optimizer_args,
+        warmup=pipeline_args.densify_from,
+        max_iterations=pipeline_args.iterations,
+    )
+
+    trace_cfg = TraceConfig(
+        sh_degree=model.sh_degree, num_quantiles=2,
+        weight_threshold=0.001, max_intersections=1024,
+    )
+    step_cfg = StepConfig(
+        trace_cfg, model.activation_scale, model.attr_dtype,
+        pipeline_args.white_background,
+    )
+    step_fn = make_train_step(step_cfg)
+
+    data_iterator = train_data_handler.get_iter()
+    cam_starts = camera_start_points(model, train_data_handler)
+
+    triangulation_update_period = 1
+    iters_since_update = 1
+    iters_since_densification = 0
+    next_densification_after = 1
+    key = jax.random.PRNGKey(42)
+
+    densify_rng = np.random.default_rng(17)
+
+    with tqdm.trange(pipeline_args.iterations) as bar:
+        for i in bar:
+            if i in iter2downsample and i:
+                downsample = iter2downsample[i]
+                train_data_handler.stop()
+                train_data_handler.reload(
+                    split="train", downsample=downsample
+                )
+                data_iterator = train_data_handler.get_iter()
+                cam_starts = camera_start_points(model, train_data_handler)
+
+            rays, rgbs, alphas, img_idx = next(data_iterator)
+            batch = jnp.concatenate(
+                [
+                    jnp.reshape(rays, (-1, 6)),
+                    jnp.reshape(rgbs, (-1, 3)),
+                    jnp.reshape(alphas, (-1, 1)),
+                    jnp.reshape(img_idx, (-1, 1)),
+                ],
+                axis=-1,
+            )
+
+            key, sub = jax.random.split(key)
+            lrs = model.learning_rates(i)
+            w_depth = pipeline_args.quantile_weight * min(
+                2 * i / pipeline_args.iterations, 1
+            )
+            model.params, model.optimizer_state, metrics = step_fn(
+                model.params, model.optimizer_state, model.nbr_idx,
+                cam_starts, batch, lrs, w_depth, sub,
+            )
+
+            if i % 10 == 9:
+                bar.set_postfix(
+                    color_loss=f"{float(metrics['color_loss']):.5f}"
+                )
+
+            if i % 100 == 99 and writer is not None:
+                writer.add_scalar(
+                    "train/rgb_loss", float(metrics["color_loss"]), i
+                )
+                writer.add_scalar("test/num_points", model.n_points, i)
+                test_psnr = test_render(
+                    model, step_cfg, test_data_handler
+                )
+                writer.add_scalar("test/psnr", test_psnr, i)
+                writer.add_scalar("lr/points_lr", lrs["primal_points"], i)
+                writer.add_scalar("lr/density_lr", lrs["density"], i)
+                writer.add_scalar("lr/attr_lr", lrs["att_dc"], i)
+
+            if iters_since_update >= triangulation_update_period:
+                model.update_triangulation(incremental=True)
+                cam_starts = camera_start_points(model, train_data_handler)
+                iters_since_update = 0
+                if triangulation_update_period < 100:
+                    triangulation_update_period += 2
+
+            iters_since_update += 1
+            if i + 1 >= pipeline_args.densify_from:
+                iters_since_densification += 1
+
+            if (
+                iters_since_densification == next_densification_after
+                and model.n_points < 0.9 * model.num_final_points
+            ):
+                point_error, point_contribution = collect_error_map(
+                    model, step_cfg, train_data_handler,
+                    rng=densify_rng,
+                )
+                model.prune_and_densify(
+                    point_error, point_contribution,
+                    pipeline_args.densify_factor,
+                )
+                model.update_triangulation(incremental=False)
+                cam_starts = camera_start_points(model, train_data_handler)
+                triangulation_update_period = 1
+                gc.collect()
+
+                iters_since_densification = 0
+                next_densification_after = max(
+                    int(
+                        (pipeline_args.densify_factor - 1)
+                        * model.n_points
+                        * (
+                            pipeline_args.densify_until
+                            - pipeline_args.densify_from
+                        )
+                        / (model.num_final_points - model.num_init_points)
+                    ),
+                    100,
+                )
+
+            if i == optimizer_args.freeze_points:
+                model.update_triangulation(incremental=False)
+                cam_starts = camera_start_points(model, train_data_handler)
+
+    if out_dir is not None:
+        model.save_ply(f"{out_dir}/scene.ply")
+        model.save_pt(f"{out_dir}/model.pt")
+    train_data_handler.stop()
+
+    final_psnr = test_render(
+        model, step_cfg, test_data_handler, out_dir=out_dir,
+        save_images=not pipeline_args.debug,
+    )
+    if writer is not None:
+        writer.close()
+    return model, final_psnr, out_dir
