@@ -430,10 +430,11 @@ def _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant):
         contrib, (rgba, qd, qp, n) = jax.lax.scan(
             scan_body, contrib0, (rays_c, start_c, quant_c)
         )
-        rgba = rgba.reshape(-1, 4)
-        qd = qd.reshape(-1, cfg.num_quantiles)
-        qp = qp.reshape(-1, cfg.num_quantiles)
-        n = n.reshape(-1)
+        total = n_chunks * chunk
+        rgba = rgba.reshape(total, 4)
+        qd = qd.reshape(total, cfg.num_quantiles)
+        qp = qp.reshape(total, cfg.num_quantiles)
+        n = n.reshape(total)
 
     return TraceOutput(
         rgba=rgba[:R].astype(attrs.dtype),

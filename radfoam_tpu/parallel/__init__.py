@@ -1,0 +1,7 @@
+from radfoam_tpu.parallel.train import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "make_sharded_train_step", "shard_batch"]

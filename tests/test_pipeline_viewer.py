@@ -1,0 +1,140 @@
+"""Tests for the Pipeline compat shim and the viewer."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radfoam_tpu import create_pipeline
+from radfoam_tpu.delaunay import Triangulation
+from radfoam_tpu.models.scene import RadFoamScene
+
+
+class Args:
+    sh_degree = 1
+    init_points = 128
+    final_points = 512
+    activation_scale = 1.0
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    rng = np.random.default_rng(2)
+    pts = rng.standard_normal((150, 3)).astype(np.float32)
+    tri = Triangulation(pts)
+    pts = pts[tri.permutation()]
+    D = 4  # sh degree 1
+    attrs = (rng.standard_normal((150, 1 + 3 * D)) * 0.2).astype(np.float32)
+    attrs[:, -1] = rng.uniform(0.3, 2.0, 150)
+    return pts, attrs, tri
+
+
+def test_pipeline_forward_dict(small_scene):
+    pts, attrs, tri = small_scene
+    pipe = create_pipeline(1, "float32")
+    rays = np.concatenate([
+        np.full((10, 3), 3.0, np.float32),
+        np.full((10, 3), -1.0, np.float32),
+    ], axis=-1)
+    res = pipe.trace_forward(
+        pts, attrs, tri.point_adjacency(), tri.point_adjacency_offsets(),
+        rays, np.zeros(10, np.int32),
+        depth_quantiles=np.full((10, 2), 0.5, np.float32),
+        return_contribution=True,
+    )
+    assert set(res.keys()) >= {
+        "rgba", "depth", "depth_indices", "contribution",
+        "num_intersections",
+    }
+    assert res["rgba"].shape == (10, 4)
+    assert res["depth"].shape == (10, 2)
+    assert np.isfinite(np.asarray(res["rgba"])).all()
+
+
+def test_pipeline_benchmark_image(small_scene):
+    pts, attrs, tri = small_scene
+    pipe = create_pipeline(1, "float16")
+    camera = {
+        "position": [3.0, 0.0, 0.0],
+        "forward": [-1.0, 0.0, 0.0],
+        "right": [0.0, 1.0, 0.0],
+        "up": [0.0, 0.0, 1.0],
+        "fov": np.deg2rad(60),
+        "width": 32,
+        "height": 24,
+        "model": "pinhole",
+    }
+    img = pipe.trace_benchmark(
+        pts, attrs, tri.point_adjacency(), tri.point_adjacency_offsets(),
+        None, camera, start_point=0,
+    )
+    assert img.shape == (24, 32)
+    assert img.dtype == jnp.uint32
+
+
+def test_viewer_render_modes(small_scene):
+    from radfoam_tpu.viewer import Viewer, ViewerOptions
+
+    pts, attrs, tri = small_scene
+    from radfoam_tpu.ops.adjacency import csr_to_padded
+
+    table = csr_to_padded(
+        tri.point_adjacency(), tri.point_adjacency_offsets()
+    )
+    opts = ViewerOptions(width=40, height=30)
+    opts.camera_pos = np.array([3.0, 0, 0], np.float32)
+    opts.camera_forward = np.array([-1.0, 0, 0], np.float32)
+    opts.camera_up = np.array([0, 0, 1.0], np.float32)
+    v = Viewer(sh_degree=1, options=opts)
+    assert v.render_frame() is None  # no scene yet
+    v.update_scene(jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table))
+    for mode in Viewer.VIS_MODES:
+        v.vis_mode = mode
+        img = v.render_frame()
+        assert img.shape == (30, 40, 3)
+        assert img.dtype == np.uint8
+
+
+def test_viewer_http_roundtrip(small_scene):
+    import urllib.request
+
+    from radfoam_tpu.viewer import Viewer, ViewerOptions
+    from radfoam_tpu.viewer.viewer import serve_viewer
+    from radfoam_tpu.ops.adjacency import csr_to_padded
+
+    pts, attrs, tri = small_scene
+    table = csr_to_padded(
+        tri.point_adjacency(), tri.point_adjacency_offsets()
+    )
+    opts = ViewerOptions(width=32, height=24, port=18231)
+    v = Viewer(sh_degree=1, options=opts)
+    v.update_scene(jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table))
+    server = serve_viewer(v)
+    try:
+        page = urllib.request.urlopen(
+            "http://127.0.0.1:18231/", timeout=10
+        ).read()
+        assert b"radfoam-tpu viewer" in page
+        png = urllib.request.urlopen(
+            "http://127.0.0.1:18231/frame.png", timeout=30
+        ).read()
+        assert png[:4] == b"\x89PNG"
+        urllib.request.urlopen(
+            "http://127.0.0.1:18231/cmd?c=mode&v=alpha", timeout=10
+        )
+        assert v.vis_mode == "alpha"
+    finally:
+        server.shutdown()
+
+
+def test_turntable_renderer(small_scene, tmp_path):
+    from radfoam_tpu.viewer import TurntableRenderer
+
+    pts, _, _ = small_scene
+    model = RadFoamScene(Args(), points=pts, seed=6)
+    paths = TurntableRenderer(model, width=32, height=24).render(
+        str(tmp_path), n_frames=2
+    )
+    assert len(paths) == 2
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
