@@ -48,9 +48,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from radfoam_tpu.ops.camera import look_at, cast_rays
-    from radfoam_tpu.ops.trace import TraceConfig, pack_rgba8
-    from radfoam_tpu.ops import trace as trace_mod
+    from radfoam_tpu.ops.camera import look_at, cast_rays_device
+    from radfoam_tpu.ops.trace import (
+        TraceConfig,
+        pack_rgba8,
+        pack_layout,
+        pack_trace_table,
+        _trace_forward_packed,
+    )
 
     sh_degree = 3
     width, height = 1920, 1080
@@ -62,16 +67,29 @@ def main():
     attrs_dev = jnp.asarray(attrs, dtype=jnp.float16)
     nbr_idx = jnp.asarray(table)
 
+    # packed row table hoisted out of the render loop, the analog of the
+    # reference benchmark's precomputed adjacent_offsets (benchmark.py:41-54)
+    lay = pack_layout(nbr_idx, attrs_dev)
+    packed = jax.jit(pack_trace_table)(points, attrs_dev, nbr_idx)
+    packed.block_until_ready()
+    n_points = pts.shape[0]
+
     cfg = TraceConfig(
         sh_degree=sh_degree, num_quantiles=0, weight_threshold=0.05,
-        max_intersections=1024, chunk_size=1 << 17,
+        max_intersections=1024, chunk_size=width * height,
     )
 
     @jax.jit
-    def render(rays, start):
-        out = trace_mod._trace_forward_impl(
-            cfg, points, attrs_dev, nbr_idx, rays,
-            start, jnp.zeros((rays.shape[0], 0), jnp.float32),
+    def render(pos, fwd, rgt, up, start):
+        # rays materialize on device (no 48MB host->device ray buffers)
+        rays = cast_rays_device(
+            pos, fwd, rgt, up, jnp.float32(2 * np.arctan(1 / 1.6)),
+            width, height,
+        )
+        out = _trace_forward_packed(
+            cfg, lay, packed, n_points, rays,
+            jnp.full((rays.shape[0],), start, jnp.int32),
+            jnp.zeros((rays.shape[0], 0), jnp.float32),
         )
         return pack_rgba8(out.rgba[:, :3].astype(jnp.float32))
 
@@ -80,22 +98,21 @@ def main():
     for v in range(n_frames):
         ang = 2 * np.pi * v / n_frames
         eye = np.array([6 * np.cos(ang), 6 * np.sin(ang), 2.0])
-        cam = look_at(eye, [0, 0, 0], [0, 0, 1], fov=float(2 * np.arctan(
-            height / (2 * 0.8 * height))), width=width, height=height)
-        rays = np.asarray(cast_rays(cam)).reshape(-1, 6)
+        cam = look_at(eye, [0, 0, 0], [0, 0, 1], fov=1.0,
+                      width=width, height=height)
         start = int(np.argmin(np.sum((pts - eye) ** 2, axis=1)))
-        frames.append((
-            jax.device_put(jnp.asarray(rays)),
-            jax.device_put(jnp.full((rays.shape[0],), start, jnp.int32)),
-        ))
+        frames.append(tuple(
+            jnp.asarray(np.asarray(x, np.float32)) for x in
+            (cam.position, cam.forward, cam.right, cam.up)
+        ) + (start,))
 
     # warmup (compile + cache)
-    for rays, start in frames:
-        render(rays, start).block_until_ready()
+    for f in frames:
+        render(*f).block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        imgs = [render(rays, start) for rays, start in frames]
+        imgs = [render(*f) for f in frames]
         jax.block_until_ready(imgs)
     t1 = time.perf_counter()
 

@@ -124,3 +124,55 @@ def cast_rays(camera: Camera):
     dirs = dirs * mask[..., None]
     origins = jnp.broadcast_to(jnp.asarray(camera.position), dirs.shape)
     return jnp.concatenate([origins, dirs], axis=-1)
+
+
+def cast_rays_device(position, forward, right, up, fov, width, height,
+                     model=PINHOLE):
+    """Jit-friendly ray-grid generation from traced camera vectors.
+
+    Same pixel convention as cast_rays/`camera.h:56-85`, but taking the
+    camera basis as (3,) arrays and fov as a traced scalar so frames can be
+    rendered without shipping an (H*W, 6) ray buffer host->device — the ray
+    grid materializes on device exactly like the reference's per-pixel
+    cast_ray (pipeline.cu:493). width/height/model are static.
+
+    Returns (H*W, 6).
+    """
+    aspect = width / height
+    x = (jnp.arange(width, dtype=jnp.float32)) / width
+    y = (jnp.arange(height, dtype=jnp.float32)) / height
+    u = (2.0 * x - 1.0) * aspect
+    v = 1.0 - 2.0 * y
+    uu, vv = jnp.meshgrid(u, v)
+
+    fwd = jnp.asarray(forward, jnp.float32)
+    rgt = jnp.asarray(right, jnp.float32)
+    upv = jnp.asarray(up, jnp.float32)
+
+    if model == PINHOLE:
+        depth = 1.0 / jnp.tan(fov * 0.5)
+        dirs = (
+            depth * fwd[None, None, :]
+            + uu[..., None] * rgt[None, None, :]
+            + vv[..., None] * upv[None, None, :]
+        )
+        mask = jnp.ones_like(uu)
+    elif model == FISHEYE:
+        theta = jnp.arctan2(vv, uu)
+        phi = fov * jnp.sqrt(uu * uu + vv * vv)
+        mask = (phi < np.pi).astype(jnp.float32)
+        phi = jnp.minimum(phi, np.pi - 1e-6)
+        dirs = (
+            (jnp.sin(phi) * jnp.cos(theta))[..., None] * rgt[None, None, :]
+            + (jnp.sin(phi) * jnp.sin(theta))[..., None] * upv[None, None, :]
+            + jnp.cos(phi)[..., None] * fwd[None, None, :]
+        )
+    else:
+        raise ValueError(f"Unknown camera model {model}")
+
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs * mask[..., None]
+    origins = jnp.broadcast_to(
+        jnp.asarray(position, jnp.float32), dirs.shape
+    )
+    return jnp.concatenate([origins, dirs], axis=-1).reshape(-1, 6)

@@ -6,18 +6,25 @@ graph with alpha compositing, transmittance-quantile depth extraction,
 per-point contribution accumulation, and the handwritten analytic backward
 pass (attribute gradients + 3-point position stencil).
 
-Design (SURVEY.md §7.1):
+Design (SURVEY.md §7.1), tuned to measured TPU gather behavior:
   * The irregular CSR walk becomes a vectorized walk over a fixed-degree
     padded neighbor table ``nbr_idx (N, K)`` (padding = self index, rejected
     by the same ``offset . dir > 0`` test that rejects backfacing faces,
     reference tracing_utils.cuh:62).
-  * The data-dependent walk length (<= max_intersections,
-    pipeline.h:15-19) becomes a ``lax.while_loop`` over a ray chunk with a
-    per-lane active mask; rays are processed in chunks so finished chunks
-    retire early.
-  * fp16 neighbor-offset tables (the prefetch_adjacent_diff bandwidth trick,
-    pipeline.cu:546-586) are recomputed on device at every call, exactly as
-    the reference does (pipeline.cu:613-620, 667-674).
+  * The data-dependent walk length (<= max_intersections, pipeline.h:15-19)
+    becomes a ``lax.while_loop`` over a large ray chunk with a per-lane
+    active mask.
+  * Gather economics on TPU (measured on v5e): a row gather costs a large
+    fixed overhead per *op* and a tiny marginal cost per row. Two design
+    rules follow: process rays in chunks of ~1M lanes (amortize the fixed
+    cost), and fetch EVERYTHING a walk step needs — cell position, fp16
+    neighbor offsets, neighbor ids, cell attributes — with ONE gather from
+    a packed row table (pack_trace_table). The fp16 offsets are the same
+    bandwidth trick as the reference's prefetch_adjacent_diff
+    (pipeline.cu:546-586); packing is recomputed per call during training
+    (points/attrs change every step, matching pipeline.cu:613-620) and
+    hoisted at inference (the benchmark path precomputes it like
+    benchmark.py:41-54 does for adjacent_offsets).
   * CUDA atomicAdd gradient scatter (pipeline.cu:240, 306, 322-328) becomes
     deterministic XLA scatter-add — an improvement: gradients are exactly
     reproducible run to run.
@@ -43,7 +50,6 @@ import jax
 import jax.numpy as jnp
 
 from radfoam_tpu.ops.sh import sh_basis, sh_to_rgb, rgb_grad_to_sh
-from radfoam_tpu.ops.adjacency import neighbor_offsets_f16
 
 
 class TraceConfig(NamedTuple):
@@ -55,7 +61,7 @@ class TraceConfig(NamedTuple):
     weight_threshold: float = 0.001
     max_intersections: int = 1024
     return_contribution: bool = False
-    chunk_size: int = 65536
+    chunk_size: int = 1 << 21  # big chunks amortize per-gather fixed cost
 
 
 class TraceOutput(NamedTuple):
@@ -67,21 +73,99 @@ class TraceOutput(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# shared walk-step geometry
+# packed per-point row table: ONE gather per walk step
 
 
-def _exit_face(points, nbr_idx, nbr_off, cell, origins, dirs):
-    """One step of the cell walk: find exit face for each lane.
+class PackLayout(NamedTuple):
+    K: int  # neighbor slots
+    A: int  # attribute width (sh... + density)
+    attr_f16: bool  # attrs stored as f16 pairs (else f32 words)
 
-    Returns (t1, next_idx, has_exit, p) where p is the current cell's site.
+    @property
+    def attr_words(self):
+        return (self.A + 1) // 2 if self.attr_f16 else self.A
+
+    @property
+    def width(self):
+        # [p(3) | half2(vx,vy)(K) | half2(vz,0)(K) | idx(K) | attrs]
+        return 3 + 3 * self.K + self.attr_words
+
+
+def pack_layout(nbr_idx, attrs):
+    return PackLayout(
+        K=nbr_idx.shape[1],
+        A=attrs.shape[1],
+        attr_f16=(attrs.dtype == jnp.float16),
+    )
+
+
+def pack_trace_table(points, attrs, nbr_idx):
+    """Build the (N, W) uint32 packed row table.
+
+    Each row holds everything a walk step needs for one cell: position
+    (f32), fp16 neighbor offsets, neighbor indices, and attributes (native
+    dtype). Padding neighbor slots (self index) have exactly-zero offsets.
     """
-    offs = jnp.take(nbr_off, cell, axis=0)[..., :3].astype(jnp.float32)
-    nbrs = jnp.take(nbr_idx, cell, axis=0)  # (R, K)
-    p = jnp.take(points, cell, axis=0)  # (R, 3)
+    lay = pack_layout(nbr_idx, attrs)
+    bc = jax.lax.bitcast_convert_type
 
-    dp = jnp.einsum("rkd,rd->rk", offs, dirs)
-    num = jnp.einsum("rkd,rd->rk", offs, p - origins) + 0.5 * jnp.sum(
-        offs * offs, axis=-1
+    q = jnp.take(points, nbr_idx, axis=0)  # (N, K, 3)
+    off = (q - points[:, None, :]).astype(jnp.float16)
+    vxy = bc(off[..., 0:2], jnp.uint32)  # (N, K)
+    vz0 = bc(
+        jnp.stack([off[..., 2], jnp.zeros_like(off[..., 2])], axis=-1),
+        jnp.uint32,
+    )
+    idxw = bc(nbr_idx.astype(jnp.int32), jnp.uint32)
+    pw = bc(points.astype(jnp.float32), jnp.uint32)  # (N, 3)
+
+    if lay.attr_f16:
+        a = attrs.astype(jnp.float16)
+        if lay.A % 2:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], 1), jnp.float16)], axis=1
+            )
+        aw = bc(a.reshape(a.shape[0], -1, 2), jnp.uint32)
+    else:
+        aw = bc(attrs.astype(jnp.float32), jnp.uint32)
+
+    return jnp.concatenate([pw, vxy, vz0, idxw, aw], axis=1)
+
+
+def _decode_row(row, lay: PackLayout):
+    """Split one gathered row batch (R, W) u32 into typed fields."""
+    bc = jax.lax.bitcast_convert_type
+    K = lay.K
+    p = bc(row[:, 0:3], jnp.float32)  # (R, 3)
+    vxy = bc(row[:, 3 : 3 + K], jnp.float16)  # (R, K, 2)
+    vz = bc(row[:, 3 + K : 3 + 2 * K], jnp.float16)[..., 0]  # (R, K)
+    nbrs = bc(row[:, 3 + 2 * K : 3 + 3 * K], jnp.int32)  # (R, K)
+    awords = row[:, 3 + 3 * K :]
+    if lay.attr_f16:
+        a = bc(awords, jnp.float16).reshape(row.shape[0], -1)[:, : lay.A]
+    else:
+        a = bc(awords, jnp.float32)
+    return p, vxy[..., 0], vxy[..., 1], vz, nbrs, a
+
+
+def _walk_step(packed, lay, cell, origins, dirs, basis):
+    """One fused walk step: single gather + exit-face test + attr decode.
+
+    Returns (t1, next_idx, has_exit, p, s, rgb_p).
+    """
+    row = jnp.take(packed, cell, axis=0)  # THE gather
+    p, vx16, vy16, vz16, nbrs, a = _decode_row(row, lay)
+    vx = vx16.astype(jnp.float32)
+    vy = vy16.astype(jnp.float32)
+    vz = vz16.astype(jnp.float32)
+
+    dp = (
+        vx * dirs[:, 0:1] + vy * dirs[:, 1:2] + vz * dirs[:, 2:3]
+    )  # (R, K)
+    po = p - origins
+    num = (
+        vx * po[:, 0:1] + vy * po[:, 1:2] + vz * po[:, 2:3]
+        + 0.5 * (vx * vx + vy * vy + vz * vz)
     )
     t = num / dp
     t = jnp.where((dp > 0.0) & jnp.isfinite(t), t, jnp.inf)
@@ -90,16 +174,12 @@ def _exit_face(points, nbr_idx, nbr_off, cell, origins, dirs):
     t1 = jnp.take_along_axis(t, face[:, None], axis=1)[:, 0]
     next_idx = jnp.take_along_axis(nbrs, face[:, None], axis=1)[:, 0]
     has_exit = jnp.isfinite(t1)
-    return t1, next_idx, has_exit, p
 
-
-def _load_cell_attrs(attrs, cell, basis):
-    """Gather + decode a cell's attributes (reference pipeline.cu:47-55)."""
-    a = jnp.take(attrs, cell, axis=0).astype(jnp.float32)  # (R, A)
-    s = a[:, -1]
-    rgb = sh_to_rgb(basis, a[:, :-1])
-    rgb = jnp.where((s > 1e-6)[:, None], rgb, 0.0)
-    return s, rgb
+    af = a.astype(jnp.float32)
+    s = af[:, lay.A - 1]
+    rgb_p = sh_to_rgb(basis, af[:, : lay.A - 1])
+    rgb_p = jnp.where((s > 1e-6)[:, None], rgb_p, 0.0)
+    return t1, next_idx, has_exit, p, s, rgb_p
 
 
 def _cell_intersection_grad(primal, opposite, origins, dirs):
@@ -116,8 +196,7 @@ def _cell_intersection_grad(primal, opposite, origins, dirs):
 # forward walk over one chunk
 
 
-def _forward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
-                   contrib):
+def _forward_chunk(cfg, lay, packed, rays, start, quant, contrib):
     R = rays.shape[0]
     Q = cfg.num_quantiles
     origins = rays[:, :3]
@@ -146,12 +225,11 @@ def _forward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
 
     def body(st):
         act = st["active"]
-        t1, next_idx, has_exit, p = _exit_face(
-            points, nbr_idx, nbr_off, st["cell"], origins, dirs
+        t1, next_idx, has_exit, p, s, rgb_p = _walk_step(
+            packed, lay, st["cell"], origins, dirs, basis
         )
         run = act & has_exit & (t1 > st["t0"])
 
-        s, rgb_p = _load_cell_attrs(attrs, st["cell"], basis)
         delta = jnp.maximum(t1 - st["t0"], 0.0)
         alpha = jnp.where(run, 1.0 - jnp.exp(-s * delta), 0.0)
         wgt = st["T"] * alpha
@@ -218,7 +296,7 @@ def _forward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
 # backward walk over one chunk (reference pipeline.cu:133-343)
 
 
-def _backward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
+def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
                     rgba, qpoint, g_rgba, g_depth, g_ray_err, accs):
     R = rays.shape[0]
     Q = cfg.num_quantiles
@@ -265,13 +343,12 @@ def _backward_chunk(cfg, points, attrs, nbr_idx, nbr_off, rays, start, quant,
 
     def body(st):
         act = st["active"]
-        t1, next_idx, has_exit, p = _exit_face(
-            points, nbr_idx, nbr_off, st["cell"], origins, dirs
+        t1, next_idx, has_exit, p, s, rgb_p = _walk_step(
+            packed, lay, st["cell"], origins, dirs, basis
         )
         run = act & has_exit & (t1 > st["t0"])
         runf = run.astype(jnp.float32)
 
-        s, rgb_p = _load_cell_attrs(attrs, st["cell"], basis)
         delta = jnp.maximum(t1 - st["t0"], 0.0)
         alpha = jnp.where(run, 1.0 - jnp.exp(-s * delta), 0.0)
         wgt = st["T"] * alpha
@@ -405,25 +482,23 @@ def _pad_chunks(cfg, arrs, R):
     return out, n_chunks, chunk
 
 
-def _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant):
+def _trace_forward_packed(cfg, lay, packed, n_points, rays, start, quant):
+    """Forward trace against a prebuilt packed table (inference hot path)."""
     R = rays.shape[0]
-    nbr_off = neighbor_offsets_f16(points, nbr_idx)
-    contrib0 = jnp.zeros((points.shape[0],), jnp.float32)
+    contrib0 = jnp.zeros((n_points,), jnp.float32)
     (rays_c, start_c, quant_c), n_chunks, chunk = _pad_chunks(
         cfg, [rays, start, quant], R
     )
 
     if n_chunks == 1:
         rgba, qd, qp, n, contrib = _forward_chunk(
-            cfg, points, attrs, nbr_idx, nbr_off,
-            rays_c[0], start_c[0], quant_c[0], contrib0,
+            cfg, lay, packed, rays_c[0], start_c[0], quant_c[0], contrib0,
         )
     else:
         def scan_body(contrib, xs):
             rays_i, start_i, quant_i = xs
             rgba, qd, qp, n, contrib = _forward_chunk(
-                cfg, points, attrs, nbr_idx, nbr_off,
-                rays_i, start_i, quant_i, contrib,
+                cfg, lay, packed, rays_i, start_i, quant_i, contrib,
             )
             return contrib, (rgba, qd, qp, n)
 
@@ -437,7 +512,7 @@ def _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant):
         n = n.reshape(total)
 
     return TraceOutput(
-        rgba=rgba[:R].astype(attrs.dtype),
+        rgba=rgba[:R],
         depth=qd[:R],
         quantile_point_indices=qp[:R],
         num_intersections=n[:R],
@@ -445,10 +520,20 @@ def _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant):
     )
 
 
+def _trace_forward_impl(cfg, points, attrs, nbr_idx, rays, start, quant):
+    lay = pack_layout(nbr_idx, attrs)
+    packed = pack_trace_table(points, attrs, nbr_idx)
+    out = _trace_forward_packed(
+        cfg, lay, packed, points.shape[0], rays, start, quant
+    )
+    return out._replace(rgba=out.rgba.astype(attrs.dtype))
+
+
 def _trace_backward_impl(cfg, points, attrs, nbr_idx, rays, start, quant,
                          rgba, qpoint, g_rgba, g_depth, ray_error=None):
     R = rays.shape[0]
-    nbr_off = neighbor_offsets_f16(points, nbr_idx)
+    lay = pack_layout(nbr_idx, attrs)
+    packed = pack_trace_table(points, attrs, nbr_idx)
     N = points.shape[0]
     A = attrs.shape[1]
     accs = (
@@ -469,7 +554,7 @@ def _trace_backward_impl(cfg, points, attrs, nbr_idx, rays, start, quant,
 
     if n_chunks == 1:
         accs = _backward_chunk(
-            cfg, points, attrs, nbr_idx, nbr_off,
+            cfg, lay, packed, points, attrs,
             rays_c[0], start_c[0], quant_c[0], rgba_c[0], qp_c[0],
             gr_c[0], gd_c[0], err_c[0] if err_c is not None else None, accs,
         )
@@ -481,7 +566,7 @@ def _trace_backward_impl(cfg, points, attrs, nbr_idx, rays, start, quant,
                 rays_i, start_i, quant_i, rgba_i, qp_i, gr_i, gd_i = xs
                 e_i = None
             accs = _backward_chunk(
-                cfg, points, attrs, nbr_idx, nbr_off,
+                cfg, lay, packed, points, attrs,
                 rays_i, start_i, quant_i, rgba_i, qp_i, gr_i, gd_i, e_i,
                 accs,
             )
