@@ -151,25 +151,37 @@ class Triangulation:
             self._simplices = self._backend.retriangulate(
                 pts, self._simplices
             )
+            self._adjacency, self._offsets = tets_to_point_adjacency(
+                self._simplices, n
+            )
             sorted_now = False
         elif incremental:
             # backend cannot repair: full rebuild in the existing order
             self._check_duplicates(pts)
-            self._simplices = self._backend.triangulate(pts)
+            self._triangulate(pts)
             sorted_now = False
         else:
             order = morton_argsort(pts).astype(np.int64)
             pts = pts[order]
             self._check_duplicates(pts, sorted_hint=True)
             self._perm = order
-            self._simplices = self._backend.triangulate(pts)
+            self._triangulate(pts)
             sorted_now = True
 
         self._num_points = n
-        self._adjacency, self._offsets = tets_to_point_adjacency(
-            self._simplices, n
-        )
         return sorted_now
+
+    def _triangulate(self, pts):
+        n = pts.shape[0]
+        if getattr(self._backend, "supports_adjacency", False):
+            self._simplices, self._adjacency, self._offsets = (
+                self._backend.triangulate_with_adjacency(pts)
+            )
+        else:
+            self._simplices = self._backend.triangulate(pts)
+            self._adjacency, self._offsets = tets_to_point_adjacency(
+                self._simplices, n
+            )
 
     @staticmethod
     def _check_duplicates(pts, sorted_hint=False):

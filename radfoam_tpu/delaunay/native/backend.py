@@ -1,0 +1,134 @@
+"""Build + ctypes binding for the native Delaunay engine.
+
+Compiles delaunay/native/src into a shared library with g++ on first use
+(no pybind11 in this image — plain C ABI via ctypes) and exposes the
+backend interface the Triangulation class consumes.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libfoam_delaunay.so")
+_BUILD_LOCK = threading.Lock()
+
+
+class NativeError(RuntimeError):
+    pass
+
+
+def _build_library():
+    srcs = [os.path.join(_SRC_DIR, "delaunay.cpp")]
+    newest_src = max(os.path.getmtime(s) for s in srcs + [
+        os.path.join(_SRC_DIR, "predicates.h")
+    ])
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) > newest_src:
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _LIB_PATH, *srcs,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise NativeError(f"native build failed:\n{proc.stderr[-2000:]}")
+    return _LIB_PATH
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _BUILD_LOCK:
+        if _lib is not None:
+            return _lib
+        path = _build_library()
+        lib = ctypes.CDLL(path)
+        lib.foam_create.restype = ctypes.c_void_p
+        lib.foam_destroy.argtypes = [ctypes.c_void_p]
+        lib.foam_build.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.foam_build.restype = ctypes.c_int
+        lib.foam_num_tets.argtypes = [ctypes.c_void_p]
+        lib.foam_num_tets.restype = ctypes.c_int64
+        lib.foam_get_tets.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.foam_adjacency_size.argtypes = [ctypes.c_void_p]
+        lib.foam_adjacency_size.restype = ctypes.c_int64
+        lib.foam_get_adjacency.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        _lib = lib
+        return _lib
+
+
+# status codes from delaunay.cpp
+_OK, _DEGENERATE, _INTERNAL, _TOO_FEW = 0, 1, 2, 3
+
+
+class NativeBackend:
+    """Backend interface: triangulate(points) -> simplices, plus direct CSR
+    adjacency extraction (faster than the numpy sort-unique path)."""
+
+    name = "native"
+    supports_incremental = False
+    supports_adjacency = True
+
+    def __init__(self):
+        self._lib = _load()
+
+    def _run(self, points):
+        from radfoam_tpu.delaunay.api import TriangulationFailedError
+
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        lib = self._lib
+        h = lib.foam_create()
+        try:
+            status = lib.foam_build(
+                h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                pts.shape[0],
+            )
+            if status == _DEGENERATE:
+                raise TriangulationFailedError(
+                    "degenerate input (duplicate or cospherical points)"
+                )
+            if status != _OK:
+                raise TriangulationFailedError(
+                    f"native triangulation failed (status {status})"
+                )
+            n_tets = lib.foam_num_tets(h)
+            tets = np.empty((n_tets, 4), np.int32)
+            lib.foam_get_tets(
+                h, tets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            )
+            e = lib.foam_adjacency_size(h)
+            adj = np.empty(e, np.uint32)
+            offsets = np.empty(pts.shape[0] + 1, np.uint32)
+            lib.foam_get_adjacency(
+                h,
+                adj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            return tets, adj, offsets
+        finally:
+            lib.foam_destroy(h)
+
+    def triangulate(self, points):
+        tets, _, _ = self._run(points)
+        return tets
+
+    def triangulate_with_adjacency(self, points):
+        return self._run(points)

@@ -19,6 +19,7 @@
 // Point adjacency (the CSR the tracer consumes, delaunay.cu:146-228) is
 // extracted by per-vertex star traversal over the final tet mesh.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
