@@ -62,6 +62,11 @@ class TraceConfig(NamedTuple):
     max_intersections: int = 1024
     return_contribution: bool = False
     chunk_size: int = 1 << 21  # big chunks amortize per-gather fixed cost
+    # backward: derive the next cell's position as p + offset (fp16 offset
+    # from the packed row) instead of an exact per-step position gather.
+    # Saves one row-op per backward step (~25% of the backward); position
+    # gradients shift by the fp16 rounding of the offset (~1e-3 relative).
+    approx_next_point: bool = True
 
 
 class TraceOutput(NamedTuple):
@@ -79,73 +84,44 @@ class TraceOutput(NamedTuple):
 class PackLayout(NamedTuple):
     K: int  # neighbor slots
     A: int  # attribute width (sh... + density)
-    attr_f16: bool  # attrs stored as f16 pairs (else f32 words)
-
-    @property
-    def attr_words(self):
-        return (self.A + 1) // 2 if self.attr_f16 else self.A
 
     @property
     def width(self):
-        # [p(3) | half2(vx,vy)(K) | half2(vz,0)(K) | idx(K) | attrs]
-        return 3 + 3 * self.K + self.attr_words
+        # f32 words: [p(3) | vx(K) | vy(K) | vz(K) | nbr-bits(K) | attrs(A)]
+        return 3 + 4 * self.K + self.A
 
 
 def pack_layout(nbr_idx, attrs):
-    return PackLayout(
-        K=nbr_idx.shape[1],
-        A=attrs.shape[1],
-        attr_f16=(attrs.dtype == jnp.float16),
-    )
+    return PackLayout(K=nbr_idx.shape[1], A=attrs.shape[1])
 
 
 def pack_trace_table(points, attrs, nbr_idx):
-    """Build the (N, W) uint32 packed row table.
+    """Build the (N, W) float32 packed row table.
 
-    Each row holds everything a walk step needs for one cell: position
-    (f32), fp16 neighbor offsets, neighbor indices, and attributes (native
-    dtype). Padding neighbor slots (self index) have exactly-zero offsets.
+    Each row holds everything a walk step needs for one cell: position,
+    neighbor offsets (rounded through f16 to match the reference's Vec4h
+    precision, pipeline.cu:546-586, then stored as f32 — decode-free slices
+    beat the 2x bandwidth saving on this hardware), neighbor indices
+    (int32 bit pattern), and attributes. Padding neighbor slots (self
+    index) have exactly-zero offsets.
     """
-    lay = pack_layout(nbr_idx, attrs)
     bc = jax.lax.bitcast_convert_type
 
     q = jnp.take(points, nbr_idx, axis=0)  # (N, K, 3)
-    off = (q - points[:, None, :]).astype(jnp.float16)
-    vxy = bc(off[..., 0:2], jnp.uint32)  # (N, K)
-    vz0 = bc(
-        jnp.stack([off[..., 2], jnp.zeros_like(off[..., 2])], axis=-1),
-        jnp.uint32,
+    off = (q - points[:, None, :]).astype(jnp.float16).astype(jnp.float32)
+    idxw = bc(nbr_idx.astype(jnp.int32), jnp.float32)
+
+    return jnp.concatenate(
+        [
+            points.astype(jnp.float32),
+            off[..., 0],
+            off[..., 1],
+            off[..., 2],
+            idxw,
+            attrs.astype(jnp.float32),
+        ],
+        axis=1,
     )
-    idxw = bc(nbr_idx.astype(jnp.int32), jnp.uint32)
-    pw = bc(points.astype(jnp.float32), jnp.uint32)  # (N, 3)
-
-    if lay.attr_f16:
-        a = attrs.astype(jnp.float16)
-        if lay.A % 2:
-            a = jnp.concatenate(
-                [a, jnp.zeros((a.shape[0], 1), jnp.float16)], axis=1
-            )
-        aw = bc(a.reshape(a.shape[0], -1, 2), jnp.uint32)
-    else:
-        aw = bc(attrs.astype(jnp.float32), jnp.uint32)
-
-    return jnp.concatenate([pw, vxy, vz0, idxw, aw], axis=1)
-
-
-def _decode_row(row, lay: PackLayout):
-    """Split one gathered row batch (R, W) u32 into typed fields."""
-    bc = jax.lax.bitcast_convert_type
-    K = lay.K
-    p = bc(row[:, 0:3], jnp.float32)  # (R, 3)
-    vxy = bc(row[:, 3 : 3 + K], jnp.float16)  # (R, K, 2)
-    vz = bc(row[:, 3 + K : 3 + 2 * K], jnp.float16)[..., 0]  # (R, K)
-    nbrs = bc(row[:, 3 + 2 * K : 3 + 3 * K], jnp.int32)  # (R, K)
-    awords = row[:, 3 + 3 * K :]
-    if lay.attr_f16:
-        a = bc(awords, jnp.float16).reshape(row.shape[0], -1)[:, : lay.A]
-    else:
-        a = bc(awords, jnp.float32)
-    return p, vxy[..., 0], vxy[..., 1], vz, nbrs, a
 
 
 def _walk_step(packed, lay, cell, origins, dirs, basis):
@@ -153,11 +129,15 @@ def _walk_step(packed, lay, cell, origins, dirs, basis):
 
     Returns (t1, next_idx, has_exit, p, s, rgb_p).
     """
+    K = lay.K
+    bc = jax.lax.bitcast_convert_type
     row = jnp.take(packed, cell, axis=0)  # THE gather
-    p, vx16, vy16, vz16, nbrs, a = _decode_row(row, lay)
-    vx = vx16.astype(jnp.float32)
-    vy = vy16.astype(jnp.float32)
-    vz = vz16.astype(jnp.float32)
+    p = row[:, 0:3]
+    vx = row[:, 3 : 3 + K]
+    vy = row[:, 3 + K : 3 + 2 * K]
+    vz = row[:, 3 + 2 * K : 3 + 3 * K]
+    nbrs = bc(row[:, 3 + 3 * K : 3 + 4 * K], jnp.int32)
+    a = row[:, 3 + 4 * K :]
 
     dp = (
         vx * dirs[:, 0:1] + vy * dirs[:, 1:2] + vz * dirs[:, 2:3]
@@ -170,16 +150,29 @@ def _walk_step(packed, lay, cell, origins, dirs, basis):
     t = num / dp
     t = jnp.where((dp > 0.0) & jnp.isfinite(t), t, jnp.inf)
 
-    face = jnp.argmin(t, axis=-1)
-    t1 = jnp.take_along_axis(t, face[:, None], axis=1)[:, 0]
-    next_idx = jnp.take_along_axis(nbrs, face[:, None], axis=1)[:, 0]
+    # min + masked-select instead of argmin + take_along_axis: the latter
+    # lowers to a per-row gather that costs ~12x more per step on TPU.
+    # Tie-break on exactly-equal t picks the smallest neighbor index.
+    t1 = jnp.min(t, axis=-1)
+    next_idx = jnp.min(
+        jnp.where(t <= t1[:, None], nbrs, jnp.int32(2**30)), axis=-1
+    )
     has_exit = jnp.isfinite(t1)
 
-    af = a.astype(jnp.float32)
-    s = af[:, lay.A - 1]
-    rgb_p = sh_to_rgb(basis, af[:, : lay.A - 1])
+    s = a[:, lay.A - 1]
+    rgb_p = sh_to_rgb(basis, a[:, : lay.A - 1])
     rgb_p = jnp.where((s > 1e-6)[:, None], rgb_p, 0.0)
-    return t1, next_idx, has_exit, p, s, rgb_p
+    return t1, next_idx, has_exit, p, s, rgb_p, (t, t1, nbrs, vx, vy, vz)
+
+
+def _chosen_offset(extras, next_idx):
+    """The fp16 offset vector of the exit face (for approx_next_point)."""
+    t, t1, nbrs, vx, vy, vz = extras
+    m = (t <= t1[:, None]) & (nbrs == next_idx[:, None])
+    mf = m.astype(jnp.float32)
+    return jnp.stack(
+        [(vx * mf).sum(1), (vy * mf).sum(1), (vz * mf).sum(1)], axis=-1
+    )
 
 
 def _cell_intersection_grad(primal, opposite, origins, dirs):
@@ -225,7 +218,7 @@ def _forward_chunk(cfg, lay, packed, rays, start, quant, contrib):
 
     def body(st):
         act = st["active"]
-        t1, next_idx, has_exit, p, s, rgb_p = _walk_step(
+        t1, next_idx, has_exit, p, s, rgb_p, _ = _walk_step(
             packed, lay, st["cell"], origins, dirs, basis
         )
         run = act & has_exit & (t1 > st["t0"])
@@ -298,13 +291,23 @@ def _forward_chunk(cfg, lay, packed, rays, start, quant, contrib):
 
 def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
                     rgba, qpoint, g_rgba, g_depth, g_ray_err, accs):
+    """One chunk of the analytic backward.
+
+    Gradient scatters are merged into ONE (R, A+3) combined scatter per step
+    targeting the *previous* cell: the position-gradient flush already lags
+    one cell behind the walk (pipeline.cu:305-313), so the attribute
+    contribution of step k-1 is buffered in ``pend_attr`` and flushed
+    together with the position gradient at step k (same totals, one row-op
+    instead of two+). The buffered tail is flushed once after the loop.
+    """
     R = rays.shape[0]
     Q = cfg.num_quantiles
+    A = lay.A
     origins = rays[:, :3]
     dirs = rays[:, 3:6]
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     basis = sh_basis(dirs, cfg.sh_degree)
-    points_grad, attr_grad, point_err = accs
+    grad_acc, point_err = accs  # grad_acc: (N, A+3) = [attr | points]
 
     # current_depth_grad pre-pass (pipeline.cu:192-207): sum of g_i / s_i
     # over quantiles that were reached in the forward pass.
@@ -329,10 +332,10 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
         prev_grad=jnp.zeros((R, 3), jnp.float32),
         cur_grad=jnp.zeros((R, 3), jnp.float32),
         next_grad=jnp.zeros((R, 3), jnp.float32),
+        pend_attr=jnp.zeros((R, A), jnp.float32),
         active=jnp.ones((R,), bool),
         n=jnp.zeros((R,), jnp.int32),
-        points_grad=points_grad,
-        attr_grad=attr_grad,
+        grad_acc=grad_acc,
         point_err=point_err,
     )
 
@@ -343,7 +346,7 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
 
     def body(st):
         act = st["active"]
-        t1, next_idx, has_exit, p, s, rgb_p = _walk_step(
+        t1, next_idx, has_exit, p, s, rgb_p, extras = _walk_step(
             packed, lay, st["cell"], origins, dirs, basis
         )
         run = act & has_exit & (t1 > st["t0"])
@@ -404,7 +407,10 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
         dL_dt1 = dL_ddt
 
         # 3-point position stencil (pipeline.cu:284-313)
-        next_point = jnp.take(points, next_idx, axis=0)
+        if cfg.approx_next_point:
+            next_point = p + _chosen_offset(extras, next_idx)
+        else:
+            next_point = jnp.take(points, next_idx, axis=0)
         prev_valid = (st["prev_idx"] >= 0)[:, None]
         dt0_dprev = jnp.where(
             prev_valid,
@@ -421,20 +427,24 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
         )
         next_grad = st["next_grad"] + runf[:, None] * dL_dt1[:, None] * dt1_dnext
 
-        # flush the (now complete) gradient of the previous cell's point
-        flush = run & (st["prev_idx"] >= 0)
-        st["points_grad"] = st["points_grad"].at[
-            jnp.where(flush, st["prev_idx"], 0)
-        ].add(jnp.where(flush[:, None], prev_grad, 0.0))
-
         # attribute gradients (pipeline.cu:317-328); the ReLU clamp in
         # sh_to_rgb backpropagates as a zero where the clamped color is 0.
         dL_drgb_p = jnp.where(rgb_p == 0.0, 0.0, dL_drgb_p)
         sh_g = rgb_grad_to_sh(basis, dL_drgb_p)
         ag = jnp.concatenate([sh_g, dL_ds[:, None]], axis=-1)
-        st["attr_grad"] = st["attr_grad"].at[st["cell"]].add(
-            jnp.where(run[:, None], ag, 0.0).astype(st["attr_grad"].dtype)
-        )
+
+        # one combined flush at the previous cell: its completed position
+        # gradient plus its buffered attribute contribution
+        flush = run & (st["prev_idx"] >= 0)
+        combined = jnp.concatenate([st["pend_attr"], prev_grad], axis=-1)
+        st["grad_acc"] = st["grad_acc"].at[
+            jnp.where(flush, st["prev_idx"], 0)
+        ].add(jnp.where(flush[:, None], combined, 0.0))
+
+        if point_err is not None:
+            st["point_err"] = st["point_err"].at[st["cell"]].add(
+                jnp.where(run, wgt * g_ray_err, 0.0)
+            )
 
         n = st["n"] + act.astype(jnp.int32)
         cont = jnp.where(run, T_next > cfg.weight_threshold, True)
@@ -453,15 +463,23 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
             prev_grad=jnp.where(run[:, None], cur_grad, st["prev_grad"]),
             cur_grad=jnp.where(run[:, None], next_grad, st["cur_grad"]),
             next_grad=jnp.where(run[:, None], 0.0, st["next_grad"]),
+            pend_attr=jnp.where(run[:, None], ag, st["pend_attr"]),
             active=active,
             n=n,
-            points_grad=st["points_grad"],
-            attr_grad=st["attr_grad"],
+            grad_acc=st["grad_acc"],
             point_err=st["point_err"],
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["points_grad"], st["attr_grad"], st["point_err"]
+    # flush the buffered attribute contribution of each ray's final cell
+    tail = st["prev_idx"] >= 0
+    tail_vals = jnp.concatenate(
+        [st["pend_attr"], jnp.zeros((R, 3), jnp.float32)], axis=-1
+    )
+    grad_acc = st["grad_acc"].at[jnp.where(tail, st["prev_idx"], 0)].add(
+        jnp.where(tail[:, None], tail_vals, 0.0)
+    )
+    return grad_acc, st["point_err"]
 
 
 # ---------------------------------------------------------------------------
@@ -537,8 +555,7 @@ def _trace_backward_impl(cfg, points, attrs, nbr_idx, rays, start, quant,
     N = points.shape[0]
     A = attrs.shape[1]
     accs = (
-        jnp.zeros((N, 3), jnp.float32),
-        jnp.zeros((N, A), jnp.float32),
+        jnp.zeros((N, A + 3), jnp.float32),  # [attr | points] combined
         jnp.zeros((N,), jnp.float32) if ray_error is not None else None,
     )
     per_ray = [rays, start, quant, rgba.astype(jnp.float32),
@@ -577,7 +594,9 @@ def _trace_backward_impl(cfg, points, attrs, nbr_idx, rays, start, quant,
             xs = xs + (err_c,)
         accs, _ = jax.lax.scan(scan_body, accs, xs)
 
-    points_grad, attr_grad, point_err = accs
+    grad_acc, point_err = accs
+    attr_grad = grad_acc[:, :A]
+    points_grad = grad_acc[:, A:]
     # non-finite gradient scrub (reference render.py:98-99)
     points_grad = jnp.where(jnp.isfinite(points_grad), points_grad, 0.0)
     attr_grad = jnp.where(jnp.isfinite(attr_grad), attr_grad, 0.0)

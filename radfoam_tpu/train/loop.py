@@ -105,8 +105,14 @@ def collect_error_map(model, step_cfg, data_handler, downsample=2, rng=None):
 
 
 def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
-          data_handler_cls=None, writer=None):
-    """Full training run; returns (model, final average PSNR, out_dir)."""
+          data_handler_cls=None, writer=None, resume_from=None,
+          checkpoint_every=0):
+    """Full training run; returns (model, final average PSNR, out_dir).
+
+    Extensions over the reference loop: optional mid-training resume
+    (resume_from = path to a snapshot written by checkpoint_every > 0) and
+    the HTTP viewer when pipeline_args.viewer is set.
+    """
     from radfoam_tpu.data import DataHandler
 
     handler_cls = data_handler_cls or DataHandler
@@ -166,18 +172,68 @@ def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
     step_fn = make_train_step(step_cfg)
 
     data_iterator = train_data_handler.get_iter()
-    cam_starts = camera_start_points(model, train_data_handler)
 
     triangulation_update_period = 1
     iters_since_update = 1
     iters_since_densification = 0
     next_densification_after = 1
+    start_iter = 0
     key = jax.random.PRNGKey(42)
 
     densify_rng = np.random.default_rng(17)
 
-    with tqdm.trange(pipeline_args.iterations) as bar:
+    if resume_from:
+        from radfoam_tpu.train.checkpoint import load_checkpoint
+
+        start_iter, extra = load_checkpoint(resume_from, model)
+        triangulation_update_period = extra.get("period", 1)
+        iters_since_update = extra.get("since_update", 1)
+        iters_since_densification = extra.get("since_densify", 0)
+        next_densification_after = extra.get("next_densify", 1)
+        key = jax.random.fold_in(key, start_iter)
+        # rejoin the downsample schedule at the right level
+        past = [
+            it for it in dataset_args.downsample_iterations
+            if it <= start_iter
+        ]
+        if past:
+            level = iter2downsample[max(past)]
+            if level != downsample:
+                downsample = level
+                train_data_handler.stop()
+                train_data_handler.reload(
+                    split="train", downsample=downsample
+                )
+                data_iterator = train_data_handler.get_iter()
+        print(f"resumed from {resume_from} at iteration {start_iter}")
+
+    cam_starts = camera_start_points(model, train_data_handler)
+
+    http_viewer = None
+    if getattr(pipeline_args, "viewer", False):
+        from radfoam_tpu.viewer import Viewer, ViewerOptions
+        from radfoam_tpu.viewer.viewer import serve_viewer
+
+        opts = ViewerOptions()
+        opts.camera_pos = np.asarray(
+            train_data_handler.viewer_pos, np.float32
+        )
+        opts.camera_forward = np.asarray(
+            train_data_handler.viewer_forward, np.float32
+        )
+        opts.camera_up = np.asarray(train_data_handler.viewer_up, np.float32)
+        http_viewer = Viewer(model.sh_degree, opts)
+        http_viewer.total_iterations = pipeline_args.iterations
+        serve_viewer(http_viewer)
+
+    with tqdm.trange(start_iter, pipeline_args.iterations) as bar:
         for i in bar:
+            if http_viewer is not None:
+                if i % 20 == 0:
+                    http_viewer.update_scene(*model.get_trace_data())
+                http_viewer.step(i)
+                if http_viewer.is_closed():
+                    break
             if i in iter2downsample and i:
                 downsample = iter2downsample[i]
                 train_data_handler.stop()
@@ -272,6 +328,25 @@ def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
                 model.update_triangulation(incremental=False)
                 cam_starts = camera_start_points(model, train_data_handler)
 
+            if (
+                checkpoint_every
+                and out_dir is not None
+                and i % checkpoint_every == checkpoint_every - 1
+            ):
+                from radfoam_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{out_dir}/checkpoint.npz", model, i + 1,
+                    extra={
+                        "period": triangulation_update_period,
+                        "since_update": iters_since_update,
+                        "since_densify": iters_since_densification,
+                        "next_densify": next_densification_after,
+                    },
+                )
+
+    if http_viewer is not None:
+        http_viewer.close()
     if out_dir is not None:
         model.save_ply(f"{out_dir}/scene.ply")
         model.save_pt(f"{out_dir}/model.pt")

@@ -93,6 +93,7 @@ def test_forward_matches_sequential_reference(scene):
 def test_backward_matches_sequential_reference(scene):
     cfg = TraceConfig(
         sh_degree=scene["sh_degree"], num_quantiles=2, chunk_size=16,
+        approx_next_point=False,
     )
     rng = np.random.default_rng(3)
     R = scene["rays"].shape[0]
@@ -131,6 +132,21 @@ def test_backward_matches_sequential_reference(scene):
     )
     np.testing.assert_allclose(
         np.asarray(pg), pg_ref, rtol=5e-3, atol=5e-3
+    )
+
+    # the fast path (next_point derived from the fp16 face offset) must stay
+    # close to the exact-gather gradients
+    pg2, ag2, _ = _trace_backward_impl(
+        cfg._replace(approx_next_point=True),
+        jnp.asarray(scene["pts"]), jnp.asarray(scene["attrs"]),
+        jnp.asarray(scene["table"]), jnp.asarray(scene["rays"]),
+        jnp.asarray(scene["start"]), jnp.asarray(scene["quant"]),
+        fwd.rgba, fwd.quantile_point_indices,
+        jnp.asarray(g_rgba), jnp.asarray(g_depth),
+    )
+    np.testing.assert_allclose(np.asarray(ag2), ag_ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(pg2), pg_ref, rtol=3e-2, atol=3e-2
     )
 
 

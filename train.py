@@ -30,6 +30,11 @@ def main():
     parser.add_argument(
         "-c", "--config", is_config_file=True, help="Path to config file"
     )
+    # extensions over the reference CLI: mid-training resume
+    parser.add_argument("--resume", type=str, default=None,
+                        help="path to a checkpoint.npz to resume from")
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="write a resumable snapshot every N iters")
 
     args = parser.parse_args()
 
@@ -41,6 +46,8 @@ def main():
         model_params.extract(args),
         optimization_params.extract(args),
         dataset_params.extract(args),
+        resume_from=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
 
 
