@@ -59,7 +59,7 @@ def main():
 
     sh_degree = 3
     width, height = 1920, 1080
-    n_frames = 8
+    n_frames = 4
     n_reps = 5
 
     pts, attrs, table = build_scene(sh_degree=sh_degree)
