@@ -67,6 +67,12 @@ class Pipeline:
                       weight_threshold=0.001, max_intersections=1024):
         """Returns the reference's result dict (pipeline_bindings.cpp:107-265):
         rgba, depth, depth_indices, contribution, num_intersections."""
+        from radfoam_tpu.utils.validation import check_trace_inputs
+
+        check_trace_inputs(
+            points, attributes, point_adjacency, point_adjacency_offsets,
+            jnp.asarray(rays), self.sh_degree,
+        )
         nbr_idx = self._padded(point_adjacency, point_adjacency_offsets)
         rays = jnp.asarray(rays)
         shape = rays.shape[:-1]

@@ -69,6 +69,7 @@ class Viewer:
         self.iteration = 0
         self.total_iterations = None
         self.vis_mode = "rgb"
+        self.color_map = "viridis"
         self.camera_pos = np.array(self.options.camera_pos, np.float32)
         self.camera_forward = _unit(self.options.camera_forward)
         self.camera_up = _unit(self.options.camera_up)
@@ -158,15 +159,17 @@ class Viewer:
         elif self.vis_mode == "alpha":
             img = np.repeat(rgba[..., 3:], 3, axis=-1)
         elif self.vis_mode == "depth":
-            d = np.asarray(out.depth).reshape(o.height, o.width, 1)
-            img = np.repeat(
-                np.clip(d / o.max_depth, 0, 1), 3, axis=-1
-            )
-        else:  # intersections
+            from radfoam_tpu.viewer.colormaps import apply_colormap
+
+            d = np.asarray(out.depth).reshape(o.height, o.width)
+            img = apply_colormap(d / o.max_depth, self.color_map)
+        else:  # intersections heat map (reference pipeline.cu:461-467)
+            from radfoam_tpu.viewer.colormaps import apply_colormap
+
             nint = np.asarray(out.num_intersections, np.float32).reshape(
-                o.height, o.width, 1
+                o.height, o.width
             )
-            img = np.repeat(np.clip(nint / 256.0, 0, 1), 3, axis=-1)
+            img = apply_colormap(nint / 256.0, self.color_map)
         return np.uint8(np.clip(img, 0, 1) * 255)
 
     # -- camera controls -------------------------------------------------
@@ -210,6 +213,9 @@ _PAGE = """<!doctype html><html><head><title>radfoam-tpu viewer</title>
 <select id="mode" onchange="cmd('mode&v='+this.value)">
 <option>rgb</option><option>depth</option><option>alpha</option>
 <option>intersections</option></select>
+<select id="cmap" onchange="cmd('cmap&v='+this.value)">
+<option>viridis</option><option>inferno</option><option>turbo</option>
+<option>gray</option></select>
 <span id="st"></span>
 </div>
 <img id="f" width="960" height="540"/>
@@ -301,6 +307,12 @@ def serve_viewer(viewer: Viewer, port=None):
                     v = q.get("v", ["rgb"])[0]
                     if v in Viewer.VIS_MODES:
                         viewer.vis_mode = v
+                elif c == "cmap":
+                    from radfoam_tpu.viewer.colormaps import COLORMAPS
+
+                    v = q.get("v", ["viridis"])[0]
+                    if v in COLORMAPS:
+                        viewer.color_map = v
                 elif c == "move":
                     s = 0.1
                     viewer.move(
