@@ -28,6 +28,16 @@ from radfoam_tpu.data.fetcher import BatchFetcher
 
 __version__ = "0.1.0"
 
+
+def run_with_viewer(model, loop_fn, total_iterations=None, **kwargs):
+    """API parity with radfoam.run_with_viewer
+    (torch_bindings/pipeline_bindings.cpp:592-624); serves the HTTP viewer
+    while running the training callback."""
+    from radfoam_tpu.viewer import run_with_viewer as _impl
+
+    return _impl(model, loop_fn, total_iterations=total_iterations, **kwargs)
+
+
 __all__ = [
     "Triangulation",
     "TriangulationFailedError",
@@ -37,5 +47,6 @@ __all__ = [
     "Pipeline",
     "create_pipeline",
     "BatchFetcher",
+    "run_with_viewer",
     "__version__",
 ]

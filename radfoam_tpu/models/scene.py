@@ -88,6 +88,7 @@ class RadFoamScene:
         self.triangulation = None
         self.aabb_tree = None
         self.optimizer_state = None
+        self._last_built = None
         self._adam = optax.scale_by_adam(eps=1e-15)
 
         if points is not None:
@@ -202,6 +203,18 @@ class RadFoamScene:
         if not np.isfinite(pts_host).all():
             raise RuntimeError("NaN in points")
 
+        # skip identical rebuilds: after freeze_points the points stop
+        # moving but the update cadence keeps firing (train.py:243-249); a
+        # host-side equality check is ~1000x cheaper than a rebuild
+        if (
+            rebuild
+            and incremental
+            and self._last_built is not None
+            and self._last_built.shape == pts_host.shape
+            and np.array_equal(self._last_built, pts_host)
+        ):
+            return
+
         perturbation = 1e-6
         del_points = pts_host
         failures = 0
@@ -236,6 +249,9 @@ class RadFoamScene:
             self.permute_points(self.triangulation.permutation())
 
         self._refresh_derived()
+        self._last_built = np.asarray(
+            self.params["primal_points"][: self.n_points]
+        )
 
     def _refresh_derived(self):
         """Rebuild the padded neighbor table + NN handle from the current
