@@ -619,11 +619,6 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
             run[:, None], wgt[:, None] * rgb_p, 0.0
         )
 
-        if point_err is not None:
-            st["point_err"] = st["point_err"].at[st["cell"]].add(
-                jnp.where(run, wgt * g_ray_err, 0.0)
-            )
-
         dL_drgb_p = g_rgba[:, :3] * wgt[:, None]
 
         rgb_rest = (rgba[:, :3] - acc_rgb) / (
