@@ -148,12 +148,13 @@ class Triangulation:
         )
 
         if incremental and getattr(self._backend, "supports_incremental", False):
-            self._simplices = self._backend.retriangulate(
-                pts, self._simplices
+            self._simplices, self._adjacency, self._offsets, rebuilt = (
+                self._backend.retriangulate_with_adjacency(pts)
             )
-            self._adjacency, self._offsets = tets_to_point_adjacency(
-                self._simplices, n
-            )
+            if rebuilt:
+                # a degenerate rebuild mid-update is surfaced by the
+                # backend as TriangulationFailedError like the full path
+                pass
             sorted_now = False
         elif incremental:
             # backend cannot repair: full rebuild in the existing order

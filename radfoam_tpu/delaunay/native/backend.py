@@ -71,6 +71,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.foam_revalidate.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.foam_revalidate.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -81,54 +87,90 @@ _OK, _DEGENERATE, _INTERNAL, _TOO_FEW = 0, 1, 2, 3
 
 class NativeBackend:
     """Backend interface: triangulate(points) -> simplices, plus direct CSR
-    adjacency extraction (faster than the numpy sort-unique path)."""
+    adjacency extraction (faster than the numpy sort-unique path).
+
+    The native handle is retained between calls: an incremental update
+    first runs the O(T) exact validity re-check (foam_revalidate) and skips
+    the rebuild entirely when the moved points leave the topology Delaunay
+    — the detector half of the reference's delete-violations/regrow
+    incremental mode (delaunay.cu:291-310). An invalid topology falls back
+    to a full rebuild.
+    """
 
     name = "native"
-    supports_incremental = False
+    supports_incremental = True
     supports_adjacency = True
 
     def __init__(self):
         self._lib = _load()
+        self._handle = None
+        self._cached = None  # (tets, adj, offsets)
 
-    def _run(self, points):
+    def __del__(self):
+        try:
+            if self._handle:
+                self._lib.foam_destroy(self._handle)
+        except Exception:
+            pass
+
+    def _build(self, pts):
         from radfoam_tpu.delaunay.api import TriangulationFailedError
 
-        pts = np.ascontiguousarray(points, dtype=np.float32)
         lib = self._lib
-        h = lib.foam_create()
-        try:
-            status = lib.foam_build(
-                h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                pts.shape[0],
+        if self._handle is None:
+            self._handle = lib.foam_create()
+        h = self._handle
+        status = lib.foam_build(
+            h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pts.shape[0],
+        )
+        if status == _DEGENERATE:
+            self._cached = None
+            raise TriangulationFailedError(
+                "degenerate input (duplicate or cospherical points)"
             )
-            if status == _DEGENERATE:
-                raise TriangulationFailedError(
-                    "degenerate input (duplicate or cospherical points)"
-                )
-            if status != _OK:
-                raise TriangulationFailedError(
-                    f"native triangulation failed (status {status})"
-                )
-            n_tets = lib.foam_num_tets(h)
-            tets = np.empty((n_tets, 4), np.int32)
-            lib.foam_get_tets(
-                h, tets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if status != _OK:
+            self._cached = None
+            raise TriangulationFailedError(
+                f"native triangulation failed (status {status})"
             )
-            e = lib.foam_adjacency_size(h)
-            adj = np.empty(e, np.uint32)
-            offsets = np.empty(pts.shape[0] + 1, np.uint32)
-            lib.foam_get_adjacency(
-                h,
-                adj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            )
-            return tets, adj, offsets
-        finally:
-            lib.foam_destroy(h)
+        n_tets = lib.foam_num_tets(h)
+        tets = np.empty((n_tets, 4), np.int32)
+        lib.foam_get_tets(
+            h, tets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
+        e = lib.foam_adjacency_size(h)
+        adj = np.empty(e, np.uint32)
+        offsets = np.empty(pts.shape[0] + 1, np.uint32)
+        lib.foam_get_adjacency(
+            h,
+            adj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        self._cached = (tets, adj, offsets)
+        return self._cached
 
     def triangulate(self, points):
-        tets, _, _ = self._run(points)
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        tets, _, _ = self._build(pts)
         return tets
 
     def triangulate_with_adjacency(self, points):
-        return self._run(points)
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        return self._build(pts)
+
+    def retriangulate_with_adjacency(self, points):
+        """Incremental update: validity re-check, full rebuild on failure.
+
+        Returns (tets, adj, offsets, rebuilt: bool).
+        """
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        if self._handle is not None and self._cached is not None:
+            status = self._lib.foam_revalidate(
+                self._handle,
+                pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                pts.shape[0],
+            )
+            if status == 0:
+                return (*self._cached, False)
+        return (*self._build(pts), True)

@@ -302,6 +302,39 @@ static int build(Mesh &m, const float *points, int64_t n) {
     return OK;
 }
 
+// validity re-check after point motion: the triangulation (topology
+// unchanged) is still the Delaunay triangulation of the moved points iff
+// every tet keeps positive orientation and every internal face is locally
+// Delaunay (the opposite vertex of the adjacent tet lies strictly outside
+// the circumsphere). This is the incremental-update detector: when it
+// passes, the reference's delete-violations/regrow pass would be a no-op
+// (delaunay.cu:291-310), so the whole rebuild can be skipped.
+static bool still_valid(const Mesh &m) {
+    int64_t ntets = (int64_t)m.tets.size();
+    for (int64_t t = 0; t < ntets; ++t) {
+        const Tet &tet = m.tets[t];
+        if (!tet.alive) continue;
+        if (orient3d_sign(m.P(tet.v[0]), m.P(tet.v[1]), m.P(tet.v[2]),
+                          m.P(tet.v[3])) <= 0)
+            return false;
+        for (int i = 0; i < 4; ++i) {
+            int32_t nb = tet.n[i];
+            if (nb == kNone || nb < (int32_t)t) continue;  // visit once
+            const Tet &other = m.tets[nb];
+            int32_t apex = kNone;
+            for (int j = 0; j < 4; ++j) {
+                if (other.n[j] == (int32_t)t) {
+                    apex = other.v[j];
+                    break;
+                }
+            }
+            if (apex == kNone) return false;  // inconsistent adjacency
+            if (m.insphere_tet(tet, m.P(apex)) >= 0) return false;
+        }
+    }
+    return true;
+}
+
 // collect live tets with only real vertices
 static void collect_tets(const Mesh &m, std::vector<int32_t> &out) {
     out.clear();
@@ -413,6 +446,18 @@ int foam_build(FoamTriangulation *h, const float *points, int64_t n) {
 
 int64_t foam_num_tets(FoamTriangulation *h) {
     return (int64_t)h->live_tets.size();
+}
+
+// Update point coordinates in place and check whether the existing
+// triangulation is still exactly Delaunay for them. Returns 0 if still
+// valid (handle now reflects the new coordinates; tets/adjacency
+// unchanged), 1 if a rebuild is required, 2 on a count mismatch.
+int foam_revalidate(FoamTriangulation *h, const float *points, int64_t n) {
+    if (n != h->mesh.n_real || h->mesh.tets.empty()) return 2;
+    for (int64_t i = 0; i < n; ++i)
+        for (int d = 0; d < 3; ++d)
+            h->mesh.pts[3 * i + d] = (double)points[3 * i + d];
+    return foam::still_valid(h->mesh) ? 0 : 1;
 }
 
 // Export live finite tets as (T x 4) int32

@@ -118,3 +118,49 @@ def test_tets_to_adjacency_simple():
     np.testing.assert_array_equal(adj[offsets[0] : offsets[1]], [1, 2, 3, 4])
     # point 3 neighbors: 0,1,2 (not 4)
     np.testing.assert_array_equal(adj[offsets[3] : offsets[4]], [0, 1, 2])
+
+
+def test_incremental_revalidate_skips_and_rebuilds(rng):
+    """The native incremental path: unchanged/slightly-moved points that
+    keep the topology Delaunay reuse the triangulation; larger motion
+    triggers a rebuild whose adjacency matches a fresh build."""
+    from radfoam_tpu.delaunay.native import load_native_backend
+
+    backend = load_native_backend()
+    if backend is None:
+        pytest.skip("native backend unavailable")
+
+    pts = make_points(rng, 400)
+    tri = Triangulation(pts, backend=backend)
+    sorted_pts = pts[tri.permutation()]
+    adj0 = tri.point_adjacency().copy()
+
+    # zero motion: must reuse (identical CSR object contents)
+    assert tri.rebuild(sorted_pts, incremental=True) is False
+    np.testing.assert_array_equal(tri.point_adjacency(), adj0)
+
+    def reference_adjacency(points):
+        # same-order ground truth via an independent full build (Qhull)
+        from radfoam_tpu.delaunay.api import _ScipyBackend
+
+        tets = _ScipyBackend().triangulate(points)
+        return tets_to_point_adjacency(tets, points.shape[0])
+
+    # tiny motion: topology normally survives — either way the CSR must be
+    # the exact Delaunay adjacency of the moved points
+    moved = sorted_pts + rng.normal(size=sorted_pts.shape).astype(
+        np.float32
+    ) * 1e-7
+    tri.rebuild(moved, incremental=True)
+    adj_ref, off_ref = reference_adjacency(moved)
+    np.testing.assert_array_equal(tri.point_adjacency(), adj_ref)
+    np.testing.assert_array_equal(tri.point_adjacency_offsets(), off_ref)
+
+    # large motion: rebuild required, result must match the ground truth
+    moved2 = sorted_pts + rng.normal(size=sorted_pts.shape).astype(
+        np.float32
+    ) * 0.3
+    tri.rebuild(moved2, incremental=True)
+    adj_ref2, off_ref2 = reference_adjacency(moved2)
+    np.testing.assert_array_equal(tri.point_adjacency(), adj_ref2)
+    np.testing.assert_array_equal(tri.point_adjacency_offsets(), off_ref2)
