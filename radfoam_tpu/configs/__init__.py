@@ -1,107 +1,122 @@
 """Config system: parameter groups + YAML configs.
 
-Mirrors the reference's reflection-based config system
-(configs/__init__.py:10-90) exactly — same group names, same keys, same
-defaults — so the three shipped YAML configs work unchanged. The only
-difference is the default device is "tpu" instead of "cuda" (any value is
-accepted; JAX picks the platform).
+Keeps the reference's config *schema* (same group names, same keys, same
+defaults — configs/__init__.py:41-90) so the three shipped YAML configs work
+unchanged, but the plumbing is declarative: each group is a table of
+``key -> default`` entries registered onto argparse by ``_register`` and read
+back by ``extract``. The only schema difference is that the default device is
+"tpu" instead of "cuda" (any value is accepted; JAX picks the platform).
 """
 
 from radfoam_tpu.utils.args import ArgParser
 
 
 class GroupParams:
-    pass
+    """Plain attribute bag returned by ``ParamGroup.extract``."""
+
+
+def _register(group, key, default):
+    """Add one CLI flag for a (key, default) spec entry.
+
+    bools become store_true flags, lists become nargs="+" with the element
+    type, everything else is a typed scalar option.
+    """
+    flag = "--" + key
+    if isinstance(default, bool):
+        group.add_argument(flag, default=default, action="store_true")
+    elif isinstance(default, list):
+        elem_t = type(default[0])
+        group.add_argument(flag, nargs="+", type=elem_t, default=default,
+                           help=f"List of {elem_t.__name__}")
+    else:
+        group.add_argument(flag, default=default, type=type(default))
 
 
 class ParamGroup:
-    """Reflects member defaults into argparse arguments and back.
+    """A named block of config keys with defaults.
 
-    Reference: configs/__init__.py:10-38.
+    Subclasses define ``SPEC`` (tuple of (key, default) pairs) and ``TITLE``.
+    Constructing one registers every key as a CLI/YAML option; ``extract``
+    pulls the parsed values back out into a GroupParams bag.
     """
 
-    def __init__(self, parser, name: str, fill_none=False):
-        group = parser.add_argument_group(name)
-        for key, value in vars(self).items():
-            t = type(value)
-            value = value if not fill_none else None
-            if t == bool:
-                group.add_argument(
-                    "--" + key, default=value, action="store_true"
-                )
-            elif t == list:
-                group.add_argument(
-                    "--" + key,
-                    nargs="+",
-                    type=type(value[0]),
-                    default=value,
-                    help=f"List of {type(value[0]).__name__}",
-                )
-            else:
-                group.add_argument("--" + key, default=value, type=t)
+    SPEC = ()
+    TITLE = ""
+
+    def __init__(self, parser, fill_none=False):
+        dest = parser.add_argument_group(self.TITLE)
+        for key, default in self.SPEC:
+            self._keys = getattr(self, "_keys", set())
+            self._keys.add(key)
+            setattr(self, key, default)
+            _register(dest, key, None if fill_none else default)
 
     def extract(self, args):
-        group = GroupParams()
-        for arg in vars(args).items():
-            if arg[0] in vars(self):
-                setattr(group, arg[0], arg[1])
-        return group
+        out = GroupParams()
+        for key in self._keys:
+            if hasattr(args, key):
+                setattr(out, key, getattr(args, key))
+        return out
 
 
 class PipelineParams(ParamGroup):
-    """Reference: configs/__init__.py:41-53."""
+    """Training-pipeline schedule knobs (reference configs/__init__.py:41-53)."""
 
-    def __init__(self, parser):
-        self.iterations = 20_000
-        self.densify_from = 2_000
-        self.densify_until = 11_000
-        self.densify_factor = 1.15
-        self.white_background = True
-        self.quantile_weight = 1e-4
-        self.experiment_name = ""
-        self.debug = False
-        self.viewer = False
-        super().__init__(parser, "Setting Pipeline parameters")
+    TITLE = "Setting Pipeline parameters"
+    SPEC = (
+        ("iterations", 20_000),
+        ("densify_from", 2_000),
+        ("densify_until", 11_000),
+        ("densify_factor", 1.15),
+        ("white_background", True),
+        ("quantile_weight", 1e-4),
+        ("experiment_name", ""),
+        ("debug", False),
+        ("viewer", False),
+    )
 
 
 class ModelParams(ParamGroup):
-    """Reference: configs/__init__.py:56-64."""
+    """Scene-model shape knobs (reference configs/__init__.py:56-64)."""
 
-    def __init__(self, parser):
-        self.sh_degree = 3
-        self.init_points = 131_072
-        self.final_points = 2_097_152
-        self.activation_scale = 1.0
-        self.device = "tpu"
-        super().__init__(parser, "Setting Model parameters")
+    TITLE = "Setting Model parameters"
+    SPEC = (
+        ("sh_degree", 3),
+        ("init_points", 131_072),
+        ("final_points", 2_097_152),
+        ("activation_scale", 1.0),
+        ("device", "tpu"),
+    )
 
 
 class OptimizationParams(ParamGroup):
-    """Reference: configs/__init__.py:67-78."""
+    """Optimizer schedule knobs (reference configs/__init__.py:67-78)."""
 
-    def __init__(self, parser):
-        self.points_lr_init = 2e-4
-        self.points_lr_final = 5e-6
-        self.density_lr_init = 1e-1
-        self.density_lr_final = 1e-2
-        self.attributes_lr_init = 5e-3
-        self.attributes_lr_final = 5e-4
-        self.sh_factor = 0.1
-        self.freeze_points = 18_000
-        super().__init__(parser, "Setting Optimization parameters")
+    TITLE = "Setting Optimization parameters"
+    SPEC = (
+        ("points_lr_init", 2e-4),
+        ("points_lr_final", 5e-6),
+        ("density_lr_init", 1e-1),
+        ("density_lr_final", 1e-2),
+        ("attributes_lr_init", 5e-3),
+        ("attributes_lr_final", 5e-4),
+        ("sh_factor", 0.1),
+        ("freeze_points", 18_000),
+    )
 
 
 class DatasetParams(ParamGroup):
-    """Reference: configs/__init__.py:81-90."""
+    """Dataset selection knobs (reference configs/__init__.py:81-90)."""
 
-    def __init__(self, parser):
-        self.dataset = "colmap"
-        self.data_path = "data/mipnerf360"
-        self.scene = "bonsai"
-        self.patch_based = False
-        self.downsample = [4, 2, 1]
-        self.downsample_iterations = [0, 150, 500]
-        super().__init__(parser, "Setting Dataset parameters")
+    TITLE = "Setting Dataset parameters"
+    SPEC = (
+        ("dataset", "colmap"),
+        ("data_path", "data/mipnerf360"),
+        ("scene", "bonsai"),
+        ("patch_based", False),
+        ("downsample", [4, 2, 1]),
+        ("downsample_iterations", [0, 150, 500]),
+    )
 
 
 __all__ = [

@@ -1,46 +1,44 @@
 """Learning-rate schedules.
 
-Matches the reference schedules (radfoam_model/utils.py:18-83): cosine decay
-with linear warmup, and log-linear ("exponential") decay. Both return plain
-Python callables ``step -> lr`` evaluated on host each iteration; the lr is
-fed into the jitted train step as a scalar argument, so no recompilation.
+Implements the reference's two decay laws (radfoam_model/utils.py:18-83):
+log-linear ("exponential") and cosine, each with an optional linear warmup
+and a hard zero past max_steps. Both are built from one generic scheduler
+parameterized by the interpolation curve; they return plain ``step -> lr``
+callables evaluated on host each iteration, so the lr enters the jitted
+train step as a scalar argument and never forces a recompile.
 """
 
-import numpy as np
+import math
+
+
+def _warmup_then(curve, lr_init, warmup_steps, max_steps):
+    """Generic schedule: linear warmup to lr_init, then ``curve(t)`` over
+    t in [0, 1], then 0 past max_steps."""
+
+    span = max(max_steps - warmup_steps, 1)
+
+    def schedule(step):
+        if warmup_steps and step < warmup_steps:
+            return lr_init * step / warmup_steps
+        if step > max_steps:
+            return 0.0
+        t = min(max((step - warmup_steps) / span, 0.0), 1.0)
+        return curve(t)
+
+    return schedule
 
 
 def get_expon_lr_func(lr_init, lr_final, warmup_steps=0, max_steps=1_000):
-    """Log-linear decay from lr_init to lr_final with optional linear warmup.
+    """Log-linear decay lr_init -> lr_final (reference utils.py:18-48)."""
 
-    Reference: radfoam_model/utils.py:18-48 (adapted from Plenoxels/JaxNeRF).
-    """
-
-    def helper(step):
-        if warmup_steps and step < warmup_steps:
-            return lr_init * step / warmup_steps
-        elif step > max_steps:
-            return 0.0
-        t = np.clip((step - warmup_steps) / (max_steps - warmup_steps), 0, 1)
-        return float(np.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t))
-
-    return helper
+    log_i, log_f = math.log(lr_init), math.log(lr_final)
+    curve = lambda t: math.exp(log_i + (log_f - log_i) * t)
+    return _warmup_then(curve, lr_init, warmup_steps, max_steps)
 
 
 def get_cosine_lr_func(lr_init, lr_final, warmup_steps=0, max_steps=10_000):
-    """Cosine decay from lr_init to lr_final with optional linear warmup.
+    """Cosine decay lr_init -> lr_final (reference utils.py:51-83)."""
 
-    Reference: radfoam_model/utils.py:51-83.
-    """
-
-    def helper(step):
-        if warmup_steps and step < warmup_steps:
-            return lr_init * step / warmup_steps
-        elif step > max_steps:
-            return 0.0
-        lr_cos = lr_final + 0.5 * (lr_init - lr_final) * (
-            1
-            + np.cos(np.pi * (step - warmup_steps) / (max_steps - warmup_steps))
-        )
-        return float(lr_cos)
-
-    return helper
+    amp = 0.5 * (lr_init - lr_final)
+    curve = lambda t: lr_final + amp * (1.0 + math.cos(math.pi * t))
+    return _warmup_then(curve, lr_init, warmup_steps, max_steps)
