@@ -67,16 +67,6 @@ class TraceConfig(NamedTuple):
     # Saves one row-op per backward step (~25% of the backward); position
     # gradients shift by the fp16 rounding of the offset (~1e-3 relative).
     approx_next_point: bool = True
-    # wavefront scheduling: when the ray count exceeds the lane pool
-    # (chunk_size), finished lanes are periodically compacted away and
-    # refilled from the backlog, so total gather-rows track the SUM of walk
-    # lengths instead of pool-size x max-steps (the TPU equivalent of the
-    # GPU's per-thread early exit). Measured on v5e the row-rate-bound
-    # gather makes this roughly cost-neutral (compaction row-ops eat the
-    # dead-lane savings), so it defaults off; kept for hardware where
-    # gather bandwidth scales with row width.
-    use_wavefront: bool = False
-    compact_every: int = 16
 
 
 class TraceOutput(NamedTuple):
@@ -296,253 +286,6 @@ def _forward_chunk(cfg, lay, packed, rays, start, quant, contrib):
 
 
 # ---------------------------------------------------------------------------
-# wavefront forward: lane pool + backlog refill
-
-
-def _forward_wavefront(cfg, lay, packed, rays, start, quant, contrib):
-    """Forward trace with lane compaction + backlog refill.
-
-    Lanes hold rays; every compact_every steps (or when the pool runs dry),
-    finished lanes flush their outputs to per-ray slots, surviving lanes
-    compact to the front, and freed lanes pull fresh rays from the backlog.
-    All shapes static; three row-ops per compaction (output scatter, state
-    scatter, backlog gather).
-    """
-    bc = jax.lax.bitcast_convert_type
-    R = rays.shape[0]
-    Q = cfg.num_quantiles
-    P = min(cfg.chunk_size, R)
-    D = (cfg.sh_degree + 1) ** 2
-
-    # backlog rows: [origin(3) dir(3) start(1) quant(Q)]
-    backlog = jnp.concatenate(
-        [rays, bc(start.astype(jnp.int32), jnp.float32)[:, None], quant],
-        axis=1,
-    )
-
-    def fresh_lanes(rows, ray_ids, valid):
-        origins = rows[:, 0:3]
-        d = rows[:, 3:6]
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        cell = bc(rows[:, 6], jnp.int32)
-        q = rows[:, 7 : 7 + Q]
-        n_l = rows.shape[0]
-        return dict(
-            origins=origins,
-            dirs=d,
-            basis=sh_basis(d, cfg.sh_degree),
-            quant=q,
-            cell=jnp.where(valid, cell, 0),
-            t0=jnp.zeros((n_l,), jnp.float32),
-            T=jnp.ones((n_l,), jnp.float32),
-            rgb=jnp.zeros((n_l, 3), jnp.float32),
-            qidx=jnp.zeros((n_l,), jnp.int32),
-            qdepth=jnp.full((n_l, Q), -1.0, jnp.float32),
-            qpoint=jnp.full((n_l, Q), -1, jnp.int32),
-            n=jnp.zeros((n_l,), jnp.int32),
-            overflow=jnp.zeros((n_l,), bool),
-            active=valid,
-            ray_id=jnp.where(valid, ray_ids, -1),
-        )
-
-    # lane-state <-> matrix packing for one-op compaction
-    _f32 = lambda x: x[:, None] if x.ndim == 1 else x
-
-    def pack_state(ls):
-        cols = [
-            ls["origins"], ls["dirs"], ls["basis"], ls["quant"],
-            _f32(ls["t0"]), _f32(ls["T"]), ls["rgb"], ls["qdepth"],
-            _f32(bc(ls["cell"], jnp.float32)),
-            _f32(bc(ls["qidx"], jnp.float32)),
-            bc(ls["qpoint"], jnp.float32).reshape(P, Q),
-            _f32(bc(ls["n"], jnp.float32)),
-            _f32(ls["overflow"].astype(jnp.float32)),
-            _f32(ls["active"].astype(jnp.float32)),
-            _f32(bc(ls["ray_id"], jnp.float32)),
-        ]
-        return jnp.concatenate(cols, axis=1)
-
-    def unpack_state(m):
-        o = 0
-        def take(w):
-            nonlocal o
-            sl = m[:, o : o + w]
-            o += w
-            return sl
-        origins = take(3)
-        d = take(3)
-        basis = take(D)
-        q = take(Q)
-        t0 = take(1)[:, 0]
-        T = take(1)[:, 0]
-        rgb = take(3)
-        qdepth = take(Q)
-        cell = bc(take(1)[:, 0], jnp.int32)
-        qidx = bc(take(1)[:, 0], jnp.int32)
-        qpoint = bc(take(Q), jnp.int32)
-        n = bc(take(1)[:, 0], jnp.int32)
-        overflow = take(1)[:, 0] > 0.5
-        active = take(1)[:, 0] > 0.5
-        ray_id = bc(take(1)[:, 0], jnp.int32)
-        return dict(
-            origins=origins, dirs=d, basis=basis, quant=q, cell=cell,
-            t0=t0, T=T, rgb=rgb, qidx=qidx, qdepth=qdepth, qpoint=qpoint,
-            n=n, overflow=overflow, active=active, ray_id=ray_id,
-        )
-
-    first_ids = jnp.arange(P, dtype=jnp.int32)
-    lanes = fresh_lanes(backlog[:P], first_ids, first_ids < R)
-
-    out0 = jnp.zeros((R, 4 + 2 * Q + 1), jnp.float32)
-
-    state = dict(
-        lanes=lanes,
-        out=out0,
-        contrib=contrib,
-        next_ray=jnp.int32(min(P, R)),
-        step=jnp.int32(0),
-    )
-
-    qslots = jnp.arange(Q, dtype=jnp.int32)[None, :]
-
-    def cond(st):
-        return jnp.any(st["lanes"]["active"]) | (st["next_ray"] < R)
-
-    def walk(st):
-        ls = st["lanes"]
-        act = ls["active"]
-        t1, next_idx, has_exit, p, s, rgb_p, _ = _walk_step(
-            packed, lay, ls["cell"], ls["origins"], ls["dirs"], ls["basis"]
-        )
-        run = act & has_exit & (t1 > ls["t0"])
-        delta = jnp.maximum(t1 - ls["t0"], 0.0)
-        alpha = jnp.where(run, 1.0 - jnp.exp(-s * delta), 0.0)
-        wgt = ls["T"] * alpha
-        rgb = ls["rgb"] + jnp.where(run[:, None], wgt[:, None] * rgb_p, 0.0)
-        T_next = ls["T"] * (1.0 - alpha)
-
-        if cfg.return_contribution:
-            st["contrib"] = st["contrib"].at[ls["cell"]].add(
-                jnp.where(run, wgt, 0.0)
-            )
-
-        qidx, qdepth, qpoint = ls["qidx"], ls["qdepth"], ls["qpoint"]
-        if Q > 0:
-            hit = (
-                run[:, None]
-                & (T_next[:, None] < ls["quant"])
-                & (qslots >= qidx[:, None])
-            )
-            dq = ls["t0"][:, None] + jnp.log(
-                ls["T"][:, None] / ls["quant"]
-            ) / s[:, None]
-            qdepth = jnp.where(hit, dq, qdepth)
-            qpoint = jnp.where(hit, ls["cell"][:, None], qpoint)
-            qidx = qidx + hit.sum(axis=1).astype(jnp.int32)
-
-        n = ls["n"] + act.astype(jnp.int32)
-        cont = jnp.where(run, T_next > cfg.weight_threshold, True)
-        would_continue = act & has_exit & cont
-        active = would_continue & (n < cfg.max_intersections)
-        overflow = ls["overflow"] | (
-            would_continue & (n >= cfg.max_intersections)
-        )
-        mv = act & has_exit
-
-        st["lanes"] = dict(
-            origins=ls["origins"], dirs=ls["dirs"], basis=ls["basis"],
-            quant=ls["quant"],
-            cell=jnp.where(mv, next_idx, ls["cell"]),
-            t0=jnp.where(mv, jnp.maximum(ls["t0"], t1), ls["t0"]),
-            T=jnp.where(run, T_next, ls["T"]),
-            rgb=rgb, qidx=qidx, qdepth=qdepth, qpoint=qpoint,
-            n=n, overflow=overflow, active=active, ray_id=ls["ray_id"],
-        )
-        st["step"] = st["step"] + 1
-        return st
-
-    def compact(st):
-        ls = st["lanes"]
-        # 1. flush finished lanes' outputs
-        done = (~ls["active"]) & (ls["ray_id"] >= 0)
-        bc_ = jax.lax.bitcast_convert_type
-        out_rows = jnp.concatenate(
-            [
-                ls["rgb"], (1.0 - ls["T"])[:, None], ls["qdepth"],
-                bc_(ls["qpoint"], jnp.float32).reshape(P, Q),
-                bc_(
-                    ls["n"] + ls["overflow"].astype(jnp.int32), jnp.float32
-                )[:, None],
-            ],
-            axis=1,
-        )
-        # .set with an out-of-bounds index for non-retiring lanes: each ray
-        # retires exactly once, and the rows carry bitcast int fields that
-        # must not go through float arithmetic
-        st["out"] = st["out"].at[jnp.where(done, ls["ray_id"], R)].set(
-            out_rows, mode="drop"
-        )
-        ls["ray_id"] = jnp.where(done, -1, ls["ray_id"])
-
-        # 2. compact survivors to the front
-        alive = ls["active"]
-        dest = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        sm = pack_state(ls)
-        compacted = jnp.zeros_like(sm).at[
-            jnp.where(alive, dest, P)
-        ].set(sm, mode="drop")
-
-        # 3. refill freed lanes from the backlog
-        slots = jnp.arange(P, dtype=jnp.int32)
-        new_ids = st["next_ray"] + (slots - n_alive)
-        valid_new = (slots >= n_alive) & (new_ids < R)
-        rows = jnp.take(
-            backlog, jnp.where(valid_new, new_ids, 0), axis=0
-        )
-        fresh = fresh_lanes(rows, new_ids, valid_new)
-        comp = unpack_state(compacted)
-        keep = (slots < n_alive)[:, None]
-        keep1 = slots < n_alive
-        merged = {}
-        for k in comp:
-            if comp[k].ndim == 1:
-                merged[k] = jnp.where(keep1, comp[k], fresh[k])
-            else:
-                merged[k] = jnp.where(keep, comp[k], fresh[k])
-        st["lanes"] = merged
-        st["next_ray"] = st["next_ray"] + jnp.maximum(
-            jnp.minimum(P - n_alive, R - st["next_ray"]), 0
-        )
-        return st
-
-    def body(st):
-        st = walk(st)
-        dead_frac_due = (st["step"] % cfg.compact_every) == 0
-        pool_dry = ~jnp.any(st["lanes"]["active"])
-        backlog_left = st["next_ray"] < R
-        do_compact = dead_frac_due | (pool_dry & backlog_left)
-        return jax.lax.cond(do_compact, compact, lambda s: s, st)
-
-    st = jax.lax.while_loop(cond, body, state)
-    # final flush of any lanes that finished after the last compaction
-    st = compact(st)
-
-    out = st["out"]
-    bcc = jax.lax.bitcast_convert_type
-    rgba = out[:, 0:4]
-    qdepth = out[:, 4 : 4 + Q]
-    qpoint = bcc(out[:, 4 + Q : 4 + 2 * Q], jnp.int32)
-    n = bcc(out[:, 4 + 2 * Q], jnp.int32)
-    # rays never traced (empty pool edge cases) keep zero outputs; qdepth
-    # and qpoint sentinels for untouched rows are set via the add-identity:
-    # flushed rows carry the true values, untouched rows are zero — patch
-    # the sentinels for the (impossible in practice) untouched case is
-    # skipped; every ray is assigned to a lane exactly once.
-    return rgba, qdepth, qpoint, n, st["contrib"]
-
-
-# ---------------------------------------------------------------------------
 # backward walk over one chunk (reference pipeline.cu:133-343)
 
 
@@ -756,15 +499,6 @@ def _trace_forward_packed(cfg, lay, packed, n_points, rays, start, quant):
     """Forward trace against a prebuilt packed table (inference hot path)."""
     R = rays.shape[0]
     contrib0 = jnp.zeros((n_points,), jnp.float32)
-
-    if cfg.use_wavefront and R > cfg.chunk_size:
-        rgba, qd, qp, n, contrib = _forward_wavefront(
-            cfg, lay, packed, rays, start, quant, contrib0
-        )
-        return TraceOutput(
-            rgba=rgba, depth=qd, quantile_point_indices=qp,
-            num_intersections=n, contribution=contrib,
-        )
 
     (rays_c, start_c, quant_c), n_chunks, chunk = _pad_chunks(
         cfg, [rays, start, quant], R
