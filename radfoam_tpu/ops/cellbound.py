@@ -1,0 +1,168 @@
+"""Conservative per-cell Voronoi bounds for rasterization binning.
+
+The tile rasterizer (ops/raster.py) bins each Voronoi cell into the screen
+tiles its bounding sphere touches. The exact extent of a bounded Voronoi
+cell is the farthest incident Voronoi vertex, i.e. the farthest circumcenter
+of the site's incident Delaunay tets; hull cells are unbounded and get a
+scene-scale clamp. Runs host-side once per triangulation rebuild (same
+cadence as the reference's triangulation_ops.cu radius pass).
+
+Reference parity anchor: the walk tracer needs no such bound (it follows
+adjacency), so this component is new to the TPU design; its correctness
+contract is "conservative": every point of cell i lies within
+``radius[i]`` of ``points[i]`` (up to the hull clamp).
+"""
+
+import numpy as np
+
+
+def tet_circumcenters(points, tets):
+    """Circumcenters of tetrahedra, vectorized.
+
+    Solves 2 (v_k - v_0) . x = |v_k|^2 - |v_0|^2 per tet by Cramer's rule.
+    Degenerate (near-flat) tets fall back to the tet centroid with a large
+    radius handled by the caller's clamp.
+
+    Returns (cc (T, 3) float64, ok (T,) bool).
+    """
+    p = points.astype(np.float64)
+    a = p[tets[:, 0]]
+    ba = p[tets[:, 1]] - a
+    ca = p[tets[:, 2]] - a
+    da = p[tets[:, 3]] - a
+
+    rb = 0.5 * np.einsum("ij,ij->i", ba, ba)
+    rc = 0.5 * np.einsum("ij,ij->i", ca, ca)
+    rd = 0.5 * np.einsum("ij,ij->i", da, da)
+
+    cross_cd = np.cross(ca, da)
+    cross_db = np.cross(da, ba)
+    cross_bc = np.cross(ba, ca)
+    det = np.einsum("ij,ij->i", ba, cross_cd)
+    ok = np.abs(det) > 1e-30
+    inv = 1.0 / np.where(ok, det, 1.0)
+    cc = a + (
+        rb[:, None] * cross_cd + rc[:, None] * cross_db
+        + rd[:, None] * cross_bc
+    ) * inv[:, None]
+    return cc, ok
+
+
+def hull_vertices(tets, num_points):
+    """Boolean mask of points on the convex hull (unbounded Voronoi cells).
+
+    A tet face is on the hull iff no second tet shares it; faces are packed
+    into int64 keys for a fast unique count (works for N < 2^21).
+    """
+    faces = np.stack(
+        [
+            tets[:, [1, 2, 3]],
+            tets[:, [0, 2, 3]],
+            tets[:, [0, 1, 3]],
+            tets[:, [0, 1, 2]],
+        ],
+        axis=1,
+    ).reshape(-1, 3).astype(np.int64)
+    faces.sort(axis=1)
+    if num_points < (1 << 21):
+        keys = (faces[:, 0] << 42) | (faces[:, 1] << 21) | faces[:, 2]
+        _, first, counts = np.unique(
+            keys, return_index=True, return_counts=True
+        )
+    else:
+        _, first, counts = np.unique(
+            faces, axis=0, return_index=True, return_counts=True
+        )
+    boundary = first[counts == 1]
+    mask = np.zeros(num_points, bool)
+    mask[faces[boundary].reshape(-1)] = True
+    return mask
+
+
+def cell_bounds(points, tets, num_points=None, degenerate_fallback=None):
+    """Axis-aligned bounding box of every Voronoi cell's finite extent.
+
+    A bounded Voronoi cell is the convex hull of its vertices (the
+    circumcenters of its incident Delaunay tets), so the AABB of those
+    vertices plus the site contains the cell exactly — a much tighter
+    screen footprint than the bounding sphere (cell_radii), typically
+    2-4x fewer (tile, cell) pairs. Near-degenerate tets contribute a
+    +-``degenerate_fallback`` cube around the site; hull cells cover only
+    their finite part (same wedge semantics as cell_radii).
+
+    Returns (bb_min (C, 3) f32, bb_max (C, 3) f32, hull_mask (C,) bool).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    tets = np.asarray(tets)
+    n = points.shape[0]
+    cap = int(num_points) if num_points is not None else n
+    if degenerate_fallback is None:
+        used = points[: min(n, cap)]
+        degenerate_fallback = float(
+            np.linalg.norm(used.max(axis=0) - used.min(axis=0))
+        )
+
+    cc, ok = tet_circumcenters(points, tets)
+    bb_min = np.full((cap, 3), np.inf)
+    bb_max = np.full((cap, 3), -np.inf)
+    for k in range(4):
+        idx = tets[:, k]
+        site = points[idx]
+        lo = np.where(ok[:, None], cc, site - degenerate_fallback)
+        hi = np.where(ok[:, None], cc, site + degenerate_fallback)
+        np.minimum.at(bb_min, idx, lo)
+        np.maximum.at(bb_max, idx, hi)
+    # the site itself is inside its cell; padding rows collapse to a point
+    upto = min(n, cap)
+    bb_min[:upto] = np.minimum(bb_min[:upto], points[:upto])
+    bb_max[:upto] = np.maximum(bb_max[:upto], points[:upto])
+    bb_min[upto:] = 0.0
+    bb_max[upto:] = 0.0
+
+    hull = np.zeros(cap, bool)
+    hull[:upto] |= hull_vertices(tets, upto)
+    # directional f32 rounding keeps the cast conservative
+    lo32 = np.nextafter(
+        bb_min.astype(np.float32), np.float32(-np.inf)
+    )
+    hi32 = np.nextafter(
+        bb_max.astype(np.float32), np.float32(np.inf)
+    )
+    return lo32, hi32, hull
+
+
+def cell_radii(points, tets, num_points=None, degenerate_fallback=None):
+    """Bounding radius of every Voronoi cell's *finite* extent.
+
+    radius[i] = max distance from site i to an incident tet circumcenter —
+    the exact farthest finite Voronoi vertex of cell i. Near-degenerate
+    (flat) tets, whose circumcenter is numerically unreliable and far away,
+    contribute ``degenerate_fallback`` (default: the scene bounding-box
+    diagonal) instead. Hull cells are additionally unbounded; their radius
+    only covers the finite part (the rasterizer documents dropping
+    contributions in the unbounded wedges, where the walk also terminates).
+    Padding rows past the real point count get 0.
+
+    Returns (radius (C,) float32, hull_mask (C,) bool).
+    """
+    points = np.asarray(points, dtype=np.float64)
+    tets = np.asarray(tets)
+    n = points.shape[0]
+    cap = int(num_points) if num_points is not None else n
+    if degenerate_fallback is None:
+        used = points[: min(n, cap)]
+        lo = used.min(axis=0)
+        hi = used.max(axis=0)
+        degenerate_fallback = float(np.linalg.norm(hi - lo))
+
+    cc, ok = tet_circumcenters(points, tets)
+    radius = np.zeros(cap, np.float64)
+    for k in range(4):
+        idx = tets[:, k]
+        d = np.linalg.norm(cc - points[idx], axis=1)
+        d = np.where(ok, d, degenerate_fallback)
+        np.maximum.at(radius, idx, d)
+
+    hull = np.zeros(cap, bool)
+    hull[: min(n, cap)] |= hull_vertices(tets, min(n, cap))
+    return radius.astype(np.float32), hull

@@ -1,0 +1,744 @@
+"""Tile rasterizer: the TPU-native real-time render engine.
+
+The reference renders by walking each ray cell-to-cell through the Voronoi
+adjacency graph in one CUDA megakernel (src/tracing/pipeline.cu:472-544).
+Round 1 reproduced that walk as an XLA while_loop (ops/trace.py), which is
+correct but hard-capped by the TPU's serially-dependent gather rate
+(~90M rows/s measured => ~1 fps at 1080p). This module replaces the *walk*
+with a *rasterization* of the same math, the way 3D Gaussian Splatting maps
+to tile-based hardware — except the primitive here is an exact convex
+Voronoi cell, so the result matches the walk's intervals, not an
+approximation of them:
+
+  1. Every Voronoi cell is conservatively bounded by a sphere
+     (ops/cellbound.py: farthest incident Delaunay circumcenter).
+  2. Spheres project to screen-space AABBs and expand into
+     (tile, depth_key, cell) pairs — dense XLA ops.
+  3. One global two-key sort orders each tile's cell list front-to-back
+     (depth_key = conservative lower bound of the ray-entry parameter
+     t_in, so the per-pixel interval order and the list order agree up
+     to rare local inversions of overlapping bounds).
+  4. ONE bulk gather packs each pair's cell row — the only irregular
+     memory access in the whole frame (vs. rays x steps of them).
+  5. A Pallas kernel composites each tile: the cell list streams from HBM
+     through double-buffered DMA, every (pixel, cell) ray-interval
+     [t_in, t_out] is computed from the cell's neighbor bisector planes
+     (same math as the walk's exit-face test, trace.py:137-175 /
+     reference tracing_utils.cuh:43-67), and alpha compositing runs in
+     list order with whole-tile early exit once all transmittances pass
+     the weight threshold.
+
+Because Voronoi cells tile space, per-ray intervals are disjoint and the
+composite in t_in order equals the walk exactly (up to fp association).
+Two knobs trade exactness for speed, both off by default and validated
+against golden walk renders when on:
+  * ``alpha_cull``: skip cells whose maximum possible alpha
+    (sigma * 2R) is below threshold — empty-space skipping.
+  * hull cells use their finite Voronoi vertices as extent; contributions
+    in their unbounded wedges (which the walk also terminates in) are
+    dropped.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+class RasterConfig(NamedTuple):
+    """Static rasterizer configuration."""
+
+    sh_degree: int = 3
+    weight_threshold: float = 0.001
+    tile: int = 16  # tile edge in pixels (tile*tile = lanes per program)
+    max_pairs: int = 1 << 22  # static (tile, cell) pair capacity
+    entry_chunk: int = 16  # cells DMA'd + composited per kernel loop step
+    alpha_cull: float = 0.0  # drop cells with sigma*2R below this (0 = off)
+    # exact-order reorder buffer width: per pixel, live entries wait in W
+    # slots and are composited strictly by their true t_in (safe-emission
+    # k-way merge against the conservative sort key). 0 = composite in raw
+    # list order (fast, approximate where bounding spheres overlap).
+    reorder_window: int = 8
+    interpret: bool = False  # run the Pallas kernel in interpreter mode
+
+
+def pack_raster_table(points, attrs, nbr_idx):
+    """(N, W) f32 row table: [p(3) | vx(K) | vy(K) | vz(K) | attrs(A)].
+
+    Same data as the walk tracer's packed rows (trace.py:pack_trace_table)
+    minus the neighbor indices — the rasterizer never follows adjacency,
+    it only needs the bisector-plane geometry. Offsets are rounded through
+    f16 exactly like the walk so both engines see identical planes.
+    """
+    q = jnp.take(points, nbr_idx, axis=0)  # (N, K, 3)
+    off = (q - points[:, None, :]).astype(jnp.float16).astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            points.astype(jnp.float32),
+            off[..., 0],
+            off[..., 1],
+            off[..., 2],
+            attrs.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _grid_shape(width, height, tile):
+    ntx = -(-width // tile)
+    nty = -(-height // tile)
+    return ntx, nty
+
+
+# ---------------------------------------------------------------------------
+# binning: cells -> sorted (tile, cell) pairs
+
+
+def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, fov,
+              *, width, height, cfg):
+    """Expand visible cells into depth-sorted per-tile cell lists.
+
+    bb_min/bb_max: (N, 3) world-space AABBs of each cell's finite Voronoi
+    extent (ops/cellbound.cell_bounds). Padding rows must collapse to a
+    point (zero extent).
+
+    Returns (sorted_cell (M,) int32, sorted_key (M,) f32,
+    tile_starts (n_tiles+1,) int32, n_pairs () int32). Pairs beyond
+    ``cfg.max_pairs`` are dropped — callers must check ``n_pairs`` and
+    either raise or re-run with a larger cap (no silent truncation policy).
+    """
+    TS = cfg.tile
+    ntx, nty = _grid_shape(width, height, TS)
+    n_tiles = ntx * nty
+    M = cfg.max_pairs
+    N = bb_min.shape[0]
+    aspect = width / height
+    ds = 1.0 / jnp.tan(fov * 0.5)
+
+    center = 0.5 * (bb_min + bb_max)
+    ext = 0.5 * (bb_max - bb_min)  # half-extents, world axes
+    rel = center - pos[None, :]
+    cz = rel @ fwd
+    cx = rel @ rgt
+    cy = rel @ up
+    # camera-space half-extents of the world AABB: |R^T| e
+    absR = jnp.stack([jnp.abs(rgt), jnp.abs(up), jnp.abs(fwd)], axis=0)
+    e_cam = ext @ absR.T  # (N, 3) -> (ex, ey, ez)
+    ex, ey, ez = e_cam[:, 0], e_cam[:, 1], e_cam[:, 2]
+    e_norm = jnp.linalg.norm(ext, axis=-1)
+
+    visible = (cz + ez) > 0.0
+    if cfg.alpha_cull > 0.0:
+        visible &= (density * (2.0 * e_norm)) >= cfg.alpha_cull
+    # zero extent marks padding rows (capacity > active points)
+    visible &= e_norm > 0.0
+
+    # conservative screen rect of the camera-space AABB: each side
+    # projects through whichever z extreme maximizes the rect. Boxes
+    # crossing the camera plane clamp at a near plane — a cell containing
+    # the camera axis then covers the full screen, while off-axis crossers
+    # stay laterally bounded and mostly cull off-screen.
+    znear = 1e-3
+    z_lo = jnp.maximum(cz - ez, znear)
+    z_hi = jnp.maximum(cz + ez, znear)
+    xm, xp = cx - ex, cx + ex
+    ym, yp = cy - ey, cy + ey
+    u_min = ds * jnp.minimum(xm / z_lo, xm / z_hi)
+    u_max = ds * jnp.maximum(xp / z_lo, xp / z_hi)
+    v_min = ds * jnp.minimum(ym / z_lo, ym / z_hi)
+    v_max = ds * jnp.maximum(yp / z_lo, yp / z_hi)
+
+    # pixel coords (cast_rays convention: u = (2 x/W - 1) aspect, v = 1-2 y/H)
+    px_min = (u_min / aspect + 1.0) * 0.5 * width
+    px_max = (u_max / aspect + 1.0) * 0.5 * width
+    py_min = (1.0 - v_max) * 0.5 * height
+    py_max = (1.0 - v_min) * 0.5 * height
+
+    visible &= (px_max >= 0.0) & (px_min <= width)
+    visible &= (py_max >= 0.0) & (py_min <= height)
+
+    tx0 = jnp.clip(jnp.floor(px_min / TS).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(px_max / TS).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(py_min / TS).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(py_max / TS).astype(jnp.int32), 0, nty - 1)
+
+    nx = (tx1 - tx0 + 1) * visible
+    ny = (ty1 - ty0 + 1) * visible
+    counts = nx * ny
+
+    offs = jnp.cumsum(counts)
+    n_pairs = offs[-1]
+    offs0 = offs - counts  # exclusive
+
+    cell = jnp.repeat(
+        jnp.arange(N, dtype=jnp.int32), counts, total_repeat_length=M
+    )
+    slot = jnp.arange(M, dtype=jnp.int32) - jnp.take(offs0, cell)
+    nx_p = jnp.take(nx, cell)
+    dx = slot % jnp.maximum(nx_p, 1)
+    dy = slot // jnp.maximum(nx_p, 1)
+    tile = (jnp.take(ty0, cell) + dy) * ntx + (jnp.take(tx0, cell) + dx)
+
+    valid = jnp.arange(M, dtype=jnp.int32) < n_pairs
+    tile = jnp.where(valid, tile, n_tiles)
+
+    # depth key: conservative lower bound of per-pixel t_in (unit-direction
+    # ray parameter >= metric distance to the bounding sphere)
+    dist = jnp.linalg.norm(rel, axis=-1)
+    key = jnp.take(dist - e_norm, cell)
+    key = jnp.where(valid, key, jnp.inf)
+
+    tile_s, key_s, cell_s = jax.lax.sort(
+        (tile, key, cell), num_keys=2
+    )
+    starts = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return cell_s, key_s, starts, n_pairs
+
+
+# ---------------------------------------------------------------------------
+# shared per-tile math (used by the Pallas kernel and the jnp reference).
+#
+# Data layout is chosen for the TPU vector unit: PIXELS LIVE ON LANES.
+# Every per-pixel quantity is (1, P) or (rows, P) with P = tile*tile = 256
+# lanes (two full vregs); per-entry plane quantities are (K, P); the
+# reorder buffer is (W, P). Entry rows arrive from DMA as (CE, Wrow) and
+# are transposed once per chunk with an MXU identity contraction (Mosaic
+# has no lane->sublane reshape). SH coefficients are stored PLANAR
+# (channel-major) in the raster pack so each channel is a contiguous
+# (D, 1) column after the transpose.
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+       -1.0925484305920792, 0.5462742152960396)
+_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+       0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+       -0.5900435899266435)
+
+
+def _sh_basis_rows(x, y, z, degree):
+    """SH basis rows from (1, P) direction components -> (D, P).
+
+    Same constants/ordering as ops/sh.sh_basis (reference sh_utils.cuh).
+    """
+    one = jnp.ones_like(x)
+    rows = [C0 * one]
+    if degree > 0:
+        rows += [-C1 * y, C1 * z, -C1 * x]
+    if degree > 1:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        rows += [
+            _C2[0] * xy,
+            _C2[1] * yz,
+            _C2[2] * (2.0 * zz - xx - yy),
+            _C2[3] * xz,
+            _C2[4] * (xx - yy),
+        ]
+    if degree > 2:
+        rows += [
+            _C3[0] * y * (3.0 * xx - yy),
+            _C3[1] * xy * z,
+            _C3[2] * y * (4.0 * zz - xx - yy),
+            _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            _C3[4] * x * (4.0 * zz - xx - yy),
+            _C3[5] * z * (xx - yy),
+            _C3[6] * x * (xx - 3.0 * yy),
+        ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _pixel_dir_rows(tx, ty, cam9, ds, *, width, height, tile):
+    """Normalized pinhole ray direction components, each (1, P).
+
+    Pixel convention matches ops/camera.cast_rays exactly.
+    """
+    TS = tile
+    P = TS * TS
+    fx, fy, fz, rx, ry, rz, ux, uy, uz = cam9
+    aspect = width / height
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)  # row-major pixel
+    ii = idx % TS  # pixel col within tile
+    jj = idx // TS  # pixel row within tile
+    px = (tx * TS + ii).astype(jnp.float32)
+    py = (ty * TS + jj).astype(jnp.float32)
+    u = ((2.0 / width) * px - 1.0) * aspect
+    v = 1.0 - (2.0 / height) * py
+    dx = ds * fx + u * rx + v * ux
+    dy = ds * fy + u * ry + v * uy
+    dz = ds * fz + u * rz + v * uz
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv, dy * inv, dz * inv
+
+
+def _mxu_transpose(chunk):
+    """(CE, W) -> (W, CE) via an identity contraction on the MXU.
+
+    Mosaic cannot reshape/transpose lanes into sublanes directly; a
+    dot_general contracting the CE axis against eye(CE) does it in one
+    trivially cheap matrix op.
+    """
+    CE = chunk.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CE, CE), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CE, CE), 0)
+    eye = (lane == sub).astype(chunk.dtype)
+    return jax.lax.dot_general(
+        chunk, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _entry_core(col, origin, dir_rows, basis, K, A):
+    """One cell's interval + color against all tile pixels.
+
+    col: (Wrow, 1) transposed packed raster column (planar-SH layout);
+    origin: 3 scalars; dir_rows: three (1, P) components; basis: (D, P).
+    Returns (od (1, P) optical depth sigma*len, rgb_p (3, P) decoded cell
+    color, t_in (1, P) entry parameter).
+
+    Interval math: for each neighbor plane with offset v (midpoint
+    bisector), the ray hits it at t = [(p - o) . v + |v|^2/2] / (v . d);
+    planes with v.d > 0 bound the exit (min over them), v.d < 0 the entry
+    (max, clamped at 0). Padding slots have v = 0 and fall out of both
+    sets. A non-finite exit (boundary cell, ray leaving the foam) keeps
+    the walk's semantics: zero contribution (trace.py run &= has_exit).
+    This is the walk's exit-face test (trace.py:137-175 / reference
+    tracing_utils.cuh:43-67) evaluated for entry AND exit.
+    """
+    ox, oy, oz = origin
+    dirx, diry, dirz = dir_rows
+    px = col[0, 0]
+    py = col[1, 0]
+    pz = col[2, 0]
+    vx = col[3 : 3 + K]  # (K, 1)
+    vy = col[3 + K : 3 + 2 * K]
+    vz = col[3 + 2 * K : 3 + 3 * K]
+    sigma = col[3 + 3 * K + A - 1, 0]
+
+    num = (
+        vx * (px - ox) + vy * (py - oy) + vz * (pz - oz)
+        + 0.5 * (vx * vx + vy * vy + vz * vz)
+    )  # (K, 1)
+    denom = vx * dirx + vy * diry + vz * dirz  # (K, P)
+    t = num / denom
+    t_out = jnp.min(
+        jnp.where(denom > 0.0, t, jnp.inf), axis=0, keepdims=True
+    )  # (1, P)
+    t_in = jnp.max(
+        jnp.where(denom < 0.0, t, 0.0), axis=0, keepdims=True
+    )
+    seg = jnp.where(
+        jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+    )
+    od = sigma * seg  # (1, P)
+
+    D = (A - 1) // 3
+    coeffs = col[3 + 3 * K : 3 + 3 * K + A - 1]  # (3D, 1) planar
+    rgb_p = jnp.maximum(
+        0.5
+        + jax.lax.dot_general(
+            coeffs.reshape(3, D), basis, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        0.0,
+    )  # (3, P)
+    rgb_p = jnp.where(sigma > 1e-6, rgb_p, 0.0)
+    return od, rgb_p, t_in
+
+
+# ---------------------------------------------------------------------------
+# exact-order emission: per-pixel k-way merge buffer
+#
+# Entries stream in conservative key order (key <= every later entry's true
+# t_in). Live entries park in W per-pixel slots; a slot is composited
+# ("popped") only once its t_in is <= the current key — at that point no
+# future entry can precede it, so pop order == exact per-ray interval order.
+# A full buffer forces the min-t_in pop early (counted in ``forced``).
+# All buffer state is (W, P): slot axis on sublanes, pixels on lanes.
+
+
+def _buffer_pop(state, key_now, wt, force_for_insert):
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = state
+    occ = S_od > 0.0
+    min_t = jnp.min(jnp.where(occ, S_t, jnp.inf), axis=0, keepdims=True)
+    full = jnp.min(S_od, axis=0, keepdims=True) > 0.0
+    need = full & force_for_insert
+    do_pop = (min_t <= key_now) | need
+    cand = occ & (S_t == min_t) & do_pop
+    slot = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    first = jnp.min(jnp.where(cand, slot, cand.shape[0]), axis=0,
+                    keepdims=True)
+    sel = cand & (slot == first)
+    self_f = sel.astype(jnp.float32)
+    od_p = jnp.sum(S_od * self_f, axis=0, keepdims=True)
+    r_p = jnp.sum(S_r * self_f, axis=0, keepdims=True)
+    g_p = jnp.sum(S_g * self_f, axis=0, keepdims=True)
+    b_p = jnp.sum(S_b * self_f, axis=0, keepdims=True)
+    decay = jnp.exp(-od_p)  # od_p = 0 when nothing popped -> no-op
+    w = jnp.where(T > wt, T * (1.0 - decay), 0.0)
+    rgb_r = rgb_r + w * r_p
+    rgb_g = rgb_g + w * g_p
+    rgb_b = rgb_b + w * b_p
+    T = T * decay
+    S_od = jnp.where(sel, 0.0, S_od)
+    forced = forced + (need & (min_t > key_now)).astype(jnp.float32)
+    return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
+
+
+def _buffer_insert(state, t_new, od_new, rgb_new, live):
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = state
+    free = S_od <= 0.0
+    slot = jax.lax.broadcasted_iota(jnp.int32, free.shape, 0)
+    first = jnp.min(jnp.where(free, slot, free.shape[0]), axis=0,
+                    keepdims=True)
+    ins = free & (slot == first) & live
+    S_t = jnp.where(ins, t_new, S_t)
+    S_od = jnp.where(ins, od_new, S_od)
+    S_r = jnp.where(ins, rgb_new[0:1], S_r)
+    S_g = jnp.where(ins, rgb_new[1:2], S_g)
+    S_b = jnp.where(ins, rgb_new[2:3], S_b)
+    return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
+
+
+def _buffer_init(P, W):
+    z = jnp.zeros((W, P), jnp.float32)
+    o = jnp.zeros((1, P), jnp.float32)
+    return (
+        z, z, z, z, z,
+        jnp.ones((1, P), jnp.float32),
+        o, o, o, o,
+    )
+
+
+def _buffer_drain(state, wt, W):
+    inf_key = jnp.full((1, 1), jnp.inf, jnp.float32)
+    no_force = jnp.zeros((1, 1), bool)
+    for _ in range(W):
+        state = _buffer_pop(state, inf_key, wt, no_force)
+    return state
+
+
+def _composite_step(bst, col, key_col, in_list, origin, dir_rows, basis,
+                    K, A, wt, Wbuf):
+    """Shared per-entry composite step (kernel + reference)."""
+    od, rgb_p, t_in = _entry_core(col, origin, dir_rows, basis, K, A)
+    if Wbuf > 0:
+        key_e = jnp.where(
+            in_list, col[key_col, 0], -jnp.inf
+        ) * jnp.ones((1, 1), jnp.float32)
+        T = bst[5]
+        live = in_list & (od > 0.0) & (T > wt)
+        bst = _buffer_pop(bst, key_e, wt, live)
+        bst = _buffer_insert(bst, t_in, od, rgb_p, live)
+    else:
+        (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
+        live = in_list & (T > wt)
+        od = jnp.where(live, od, 0.0)
+        decay = jnp.exp(-od)
+        w = T * (1.0 - decay)
+        rgb_r = rgb_r + w * rgb_p[0:1]
+        rgb_g = rgb_g + w * rgb_p[1:2]
+        rgb_b = rgb_b + w * rgb_p[2:3]
+        T = T * decay
+        bst = (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
+    return bst
+
+
+# ---------------------------------------------------------------------------
+# Pallas composite kernel
+
+
+def _composite_kernel(cfg, K, A, width, height, ntx,
+                      starts_ref, lens_ref, cam_ref, rows_hbm,
+                      out_ref, aux_ref, buf, sems):
+    TS = cfg.tile
+    P = TS * TS
+    CE = cfg.entry_chunk
+    wt = cfg.weight_threshold
+    Wbuf = cfg.reorder_window
+    key_col = 3 + 3 * K + A  # appended per-pair sort-key column
+
+    t_id = pl.program_id(0)
+    # tile lists are padded to CE-multiples so every DMA start is aligned
+    # to the (8, 128) HBM tiling
+    start = pl.multiple_of(starts_ref[t_id], CE)
+    length = lens_ref[t_id]
+    tx = t_id % ntx
+    ty = t_id // ntx
+
+    origin = (cam_ref[0], cam_ref[1], cam_ref[2])
+    cam9 = tuple(cam_ref[i] for i in range(3, 12))
+    ds = cam_ref[12]
+
+    dir_rows = _pixel_dir_rows(tx, ty, cam9, ds,
+                               width=width, height=height, tile=TS)
+    basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
+
+    n_chunks = pl.cdiv(length, CE)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * CE, CE)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(state):
+        c = state[0]
+        bst = state[1:]
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(c % 2, c).wait()
+        chunk_t = _mxu_transpose(buf[c % 2])  # (Wrow, CE)
+
+        for e in range(CE):
+            col = chunk_t[:, e : e + 1]  # (Wrow, 1)
+            in_list = c * CE + e < length
+            bst = _composite_step(bst, col, key_col, in_list, origin,
+                                  dir_rows, basis, K, A, wt, Wbuf)
+
+        return (c + 1,) + bst
+
+    def cond(state):
+        c, T = state[0], state[6]
+        return (c < n_chunks) & (jnp.max(T) > wt)
+
+    state0 = (jnp.int32(0),) + _buffer_init(P, max(Wbuf, 1))
+    state = jax.lax.while_loop(cond, body, state0)
+    c_f = state[0]
+    bst = state[1:]
+
+    # drain: an early exit leaves the next chunk's DMA in flight — wait on
+    # it so the scratch/semaphore state is clean for the next grid step
+    @pl.when(c_f < n_chunks)
+    def _():
+        get_dma(c_f % 2, c_f).wait()
+
+    if Wbuf > 0:
+        bst = _buffer_drain(bst, wt, Wbuf)
+    T = bst[5]
+    rgb_r, rgb_g, rgb_b, forced = bst[6], bst[7], bst[8], bst[9]
+    out_ref[0] = jnp.concatenate(
+        [rgb_r, rgb_g, rgb_b, 1.0 - T], axis=0
+    )
+    aux_ref[0] = forced
+
+
+def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
+    """Run the per-tile composite kernel over the whole frame.
+
+    rows: (Mp + CE, Wrow) f32 pre-gathered sorted cell rows (planar-SH pack
+      + per-pair sort key as the last column) in the CE-ALIGNED per-tile
+      layout (every tile's list starts at a multiple of entry_chunk).
+    starts: (n_tiles + 1,) int32 aligned per-tile offsets into rows.
+    lens: (n_tiles,) int32 true (unpadded) per-tile list lengths.
+    cam: (16,) f32 [pos fwd rgt up ds pad...].
+
+    Returns ((n_tiles, 4, P) f32 rgba rows,
+             (n_tiles, 1, P) f32 forced-pop diagnostic counts).
+    """
+    TS = cfg.tile
+    ntx, nty = _grid_shape(width, height, TS)
+    n_tiles = ntx * nty
+    P = TS * TS
+    Wrow = rows.shape[1]
+
+    kernel = partial(_composite_kernel, cfg, K, A, width, height, ntx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, cfg.entry_chunk, Wrow), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 4, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(starts, lens, cam, rows)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference composite (tests; python loop over tiles)
+
+
+def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up, ds,
+                        *, width, height, cfg, K, A):
+    """Pure-jnp per-tile composite using the exact same helper math as the
+    Pallas kernel (python loop over tiles and entries). Test-only.
+
+    rows_np must be in the PLANAR-SH raster pack layout.
+    Returns ((n_tiles, 4, P) rgba rows, (n_tiles, P) forced-pop counts).
+    """
+    TS = cfg.tile
+    ntx, nty = _grid_shape(width, height, TS)
+    P = TS * TS
+    out = np.zeros((ntx * nty, 4, P), np.float32)
+    forced_out = np.zeros((ntx * nty, P), np.float32)
+    wt = cfg.weight_threshold
+    Wbuf = cfg.reorder_window
+    key_col = 3 + 3 * K + A
+    cam9 = tuple(
+        jnp.float32(v) for v in (*np.asarray(fwd), *np.asarray(rgt),
+                                 *np.asarray(up))
+    )
+    origin = tuple(jnp.float32(v) for v in np.asarray(pos))
+
+    rows_np = np.asarray(rows_np)
+    keys_np = np.asarray(keys_np)
+    for t in range(ntx * nty):
+        s, e = int(starts_np[t]), int(starts_np[t + 1])
+        dir_rows = _pixel_dir_rows(
+            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9, jnp.float32(ds),
+            width=width, height=height, tile=TS,
+        )
+        basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
+        bst = _buffer_init(P, max(Wbuf, 1))
+        for i in range(s, e):
+            col = jnp.asarray(
+                np.concatenate([rows_np[i], keys_np[i : i + 1]])[:, None]
+            )
+            bst = _composite_step(
+                bst, col, key_col, jnp.bool_(True), origin, dir_rows,
+                basis, K, A, wt, Wbuf,
+            )
+        if Wbuf > 0:
+            bst = _buffer_drain(bst, wt, Wbuf)
+        T = bst[5]
+        out[t, 0] = np.asarray(bst[6])[0]
+        out[t, 1] = np.asarray(bst[7])[0]
+        out[t, 2] = np.asarray(bst[8])[0]
+        out[t, 3] = 1.0 - np.asarray(T)[0]
+        forced_out[t] = np.asarray(bst[9])[0]
+    return out, forced_out
+
+
+# ---------------------------------------------------------------------------
+# frame orchestration
+
+
+def tiles_to_image(tiles, *, width, height, tile):
+    """(n_tiles, 4, tile*tile) -> (height, width, 4) crop."""
+    ntx, nty = _grid_shape(width, height, tile)
+    img = tiles.transpose(0, 2, 1).reshape(nty, ntx, tile, tile, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, 4)
+    return img[:height, :width]
+
+
+def pack_raster_planar(rpacked, K, A):
+    """Reorder a pack_raster_table's SH block to planar (channel-major).
+
+    [p | v | sh_interleaved(3D) sigma] -> [p | v | sh_r(D) sh_g(D) sh_b(D)
+    sigma]. The kernel consumes the planar layout (contiguous per-channel
+    columns after the chunk transpose).
+    """
+    D = (A - 1) // 3
+    base = 3 + 3 * K
+    sh = rpacked[:, base : base + 3 * D]
+    planar = sh.reshape(-1, D, 3).transpose(0, 2, 1).reshape(-1, 3 * D)
+    return jnp.concatenate(
+        [rpacked[:, :base], planar, rpacked[:, base + 3 * D :]], axis=1
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg"),
+)
+def render_frame(rpacked, bb_min, bb_max, density, pos, fwd, rgt, up, fov,
+                 *, width, height, cfg):
+    """Full raster render: bin + sort + gather + Pallas composite.
+
+    rpacked: (N, W) pack_raster_table output (interleaved SH; converted to
+      the kernel's planar layout here).
+    bb_min/bb_max: (N, 3) cell AABBs (cellbound.cell_bounds).
+    density: (N,) activated densities (alpha culling input).
+
+    Returns ((H, W, 4) f32 rgba image, n_pairs, forced-pop count).
+    """
+    N, W = rpacked.shape
+    # layout: W = 3 + 3K + A with A fixed by the SH degree
+    A = 1 + 3 * (cfg.sh_degree + 1) ** 2
+    K = (W - 3 - A) // 3
+
+    cell_s, key_s, starts, n_pairs = bin_pairs(
+        bb_min, bb_max, density, pos, fwd, rgt, up, fov,
+        width=width, height=height, cfg=cfg,
+    )
+
+    # re-layout pairs so every tile's list starts at a CE-aligned offset
+    # (Mosaic DMA slice starts must honor the (8, 128) HBM tiling): an
+    # index indirection built with the same repeat/expand trick as binning
+    CE = cfg.entry_chunk
+    ntx, nty = _grid_shape(width, height, cfg.tile)
+    n_tiles = ntx * nty
+    Mp = cfg.max_pairs + CE * n_tiles  # static worst-case padded capacity
+    lens = starts[1:] - starts[:-1]  # (T,)
+    plens = -(-lens // CE) * CE
+    nstarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(plens).astype(jnp.int32)]
+    )
+    tile_of = jnp.repeat(
+        jnp.arange(n_tiles, dtype=jnp.int32), plens, total_repeat_length=Mp
+    )
+    within = jnp.arange(Mp, dtype=jnp.int32) - jnp.take(nstarts, tile_of)
+    valid = within < jnp.take(lens, tile_of)
+    src = jnp.take(starts, tile_of) + jnp.where(valid, within, 0)
+    cell_p = jnp.where(valid, jnp.take(cell_s, src), 0)
+    key_p = jnp.where(valid, jnp.take(key_s, src), 0.0)
+
+    planar = pack_raster_planar(rpacked, K, A)
+    rows = jnp.concatenate(
+        [
+            jnp.take(planar, cell_p, axis=0),
+            jnp.where(jnp.isfinite(key_p), key_p, 0.0)[:, None],
+        ],
+        axis=1,
+    )
+    # pad width to a lane-tile multiple (Mosaic HBM slices must be
+    # 128-aligned in the minor dim) and length by one DMA chunk
+    W_pad = -(-(W + 1) // 128) * 128
+    rows = jnp.pad(
+        rows, ((0, CE), (0, W_pad - (W + 1)))
+    )
+    ds = 1.0 / jnp.tan(fov * 0.5)
+    cam = jnp.concatenate(
+        [pos, fwd, rgt, up, jnp.reshape(ds, (1,)),
+         jnp.zeros((3,), jnp.float32)]
+    ).astype(jnp.float32)
+    tiles, forced = composite_pallas(
+        rows, nstarts, lens, cam,
+        width=width, height=height, cfg=cfg, K=K, A=A,
+    )
+    img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
+    return img, n_pairs, jnp.sum(forced)

@@ -1,0 +1,214 @@
+"""Tile rasterizer vs the walk tracer.
+
+The rasterizer computes each (ray, cell) interval independently from the
+cell's bisector planes; the walk derives the same intervals sequentially.
+On scenes where rays terminate inside the foam (saturating density) the two
+must agree almost exactly; on open scenes the only differences come from
+hull-cell unbounded wedges and list-order inversions, bounded here by PSNR.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radfoam_tpu.delaunay import Triangulation
+from radfoam_tpu.ops.adjacency import csr_to_padded
+from radfoam_tpu.ops.camera import look_at, cast_rays
+from radfoam_tpu.ops.cellbound import cell_bounds, cell_radii
+from radfoam_tpu.ops.trace import TraceConfig, trace
+from radfoam_tpu.ops import raster as R
+
+
+def build_scene(n_points=3000, sh_degree=2, seed=7, saturate=True):
+    rng = np.random.default_rng(seed)
+    pts = rng.standard_normal((n_points, 3)).astype(np.float32) * 1.2
+    tri = Triangulation(pts)
+    pts = pts[tri.permutation()]
+    table = csr_to_padded(tri.point_adjacency(), tri.point_adjacency_offsets())
+    bb_min, bb_max, hull = cell_bounds(pts, tri.tets())
+
+    D = (sh_degree + 1) ** 2
+    attrs = (rng.standard_normal((n_points, 1 + 3 * D)) * 0.25).astype(
+        np.float32
+    )
+    if saturate:
+        # high density everywhere: every ray terminates well inside the
+        # foam, so hull wedges are unreachable and raster == walk
+        attrs[:, -1] = rng.uniform(4.0, 10.0, n_points)
+    else:
+        r = np.linalg.norm(pts, axis=1)
+        attrs[:, -1] = np.where(r < 1.0, 5.0, 0.05)
+    return pts, attrs, table, (bb_min, bb_max)
+
+
+def cam_setup(pts, width, height, eye=(0.4, 0.3, 0.2), fov=1.1):
+    eye = np.asarray(eye, np.float32)
+    cam = look_at(eye, [0, 0, 0], [0, 0, 1], fov=fov,
+                  width=width, height=height)
+    start = int(np.argmin(np.sum((pts - eye) ** 2, axis=1)))
+    return cam, start
+
+
+def walk_image(pts, attrs, table, cam, start, wt):
+    cfg = TraceConfig(sh_degree=int(np.sqrt((attrs.shape[1] - 1) // 3)) - 1,
+                      num_quantiles=0, weight_threshold=wt)
+    rays = np.asarray(cast_rays(cam)).reshape(-1, 6)
+    out = trace(
+        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+        jnp.asarray(rays), jnp.full((rays.shape[0],), start, jnp.int32),
+        config=cfg,
+    )
+    return np.asarray(out.rgba).reshape(cam.height, cam.width, 4)
+
+
+def raster_image_reference(pts, attrs, table, bounds, cam, cfg):
+    """bin_pairs + composite_reference path."""
+    A = attrs.shape[1]
+    K = table.shape[1]
+    rpacked = np.asarray(
+        R.pack_raster_planar(
+            R.pack_raster_table(
+                jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+            ),
+            K, A,
+        )
+    )
+    cell_s, key_s, starts, n_pairs = jax.jit(
+        R.bin_pairs, static_argnames=("width", "height", "cfg")
+    )(
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+        jnp.asarray(attrs[:, -1]),
+        jnp.asarray(cam.position), jnp.asarray(cam.forward),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        width=cam.width, height=cam.height, cfg=cfg,
+    )
+    assert int(n_pairs) <= cfg.max_pairs, "pair capacity overflow"
+    rows = rpacked[np.asarray(cell_s)]
+    ds = 1.0 / np.tan(cam.fov * 0.5)
+    tiles, forced = R.composite_reference(
+        rows, np.asarray(key_s), np.asarray(starts), cam.position,
+        cam.forward, cam.right, cam.up, ds,
+        width=cam.width, height=cam.height, cfg=cfg, K=K, A=A,
+    )
+    img = R.tiles_to_image(
+        jnp.asarray(tiles), width=cam.width, height=cam.height, tile=cfg.tile
+    )
+    return np.asarray(img), forced, np.asarray(starts)
+
+
+def psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 99.0 if mse == 0 else -10.0 * np.log10(mse)
+
+
+def test_raster_matches_walk_saturating():
+    pts, attrs, table, bounds = build_scene(saturate=True)
+    W = H = 48
+    cam, start = cam_setup(pts, W, H)
+    wt = 0.001
+    cfg = R.RasterConfig(sh_degree=2, weight_threshold=wt, tile=16,
+                         max_pairs=1 << 18)
+    walk = walk_image(pts, attrs, table, cam, start, wt)
+    rast, forced, _ = raster_image_reference(
+        pts, attrs, table, bounds, cam, cfg
+    )
+    # saturating scene: identical intervals, exact-order emission
+    assert forced.sum() == 0, f"forced pops: {forced.sum()}"
+    assert psnr(walk, rast) > 55.0, psnr(walk, rast)
+    np.testing.assert_allclose(rast, walk, atol=5e-3)
+
+
+def test_raster_matches_walk_open_scene():
+    pts, attrs, table, bounds = build_scene(saturate=False)
+    W = H = 48
+    cam, start = cam_setup(pts, W, H, eye=(0.2, 0.1, 0.15))
+    wt = 0.001
+    cfg = R.RasterConfig(sh_degree=2, weight_threshold=wt, tile=16,
+                         max_pairs=1 << 18)
+    walk = walk_image(pts, attrs, table, cam, start, wt)
+    rast, forced, _ = raster_image_reference(
+        pts, attrs, table, bounds, cam, cfg
+    )
+    # open scene: hull-wedge drops allowed, order still exact
+    assert psnr(walk, rast) > 35.0, psnr(walk, rast)
+
+
+def test_pallas_kernel_matches_reference():
+    pts, attrs, table, bounds = build_scene(n_points=1200, saturate=True)
+    W = H = 32
+    cam, start = cam_setup(pts, W, H)
+    cfg = R.RasterConfig(sh_degree=2, weight_threshold=0.001, tile=16,
+                         max_pairs=1 << 16, interpret=True)
+    ref_img, _, _ = raster_image_reference(
+        pts, attrs, table, bounds, cam, cfg
+    )
+    rpacked = R.pack_raster_table(
+        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+    )
+    img, n_pairs, forced = R.render_frame(
+        rpacked, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+        jnp.asarray(attrs[:, -1]),
+        jnp.asarray(cam.position), jnp.asarray(cam.forward),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        width=W, height=H, cfg=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), ref_img, atol=2e-5, rtol=1e-5
+    )
+
+
+def test_alpha_cull_bounded_error():
+    pts, attrs, table, bounds = build_scene(saturate=False)
+    W = H = 32
+    cam, start = cam_setup(pts, W, H)
+    base = R.RasterConfig(sh_degree=2, weight_threshold=0.001, tile=16,
+                          max_pairs=1 << 18)
+    culled = base._replace(alpha_cull=1e-3)
+    img0, _, _ = raster_image_reference(pts, attrs, table, bounds, cam, base)
+    img1, _, _ = raster_image_reference(pts, attrs, table, bounds, cam,
+                                        culled)
+    assert psnr(img0, img1) > 40.0
+
+
+def test_cell_radii_conservative():
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    tri = Triangulation(pts)
+    pts = pts[tri.permutation()]
+    tets = tri.tets()
+    radius, hull = cell_radii(pts, tets)
+    from radfoam_tpu.ops.cellbound import tet_circumcenters
+
+    cc, ok = tet_circumcenters(pts.astype(np.float64), tets)
+    for k in range(4):
+        d = np.linalg.norm(cc - pts[tets[:, k]], axis=1)
+        # every finite Voronoi vertex of every cell is inside the radius
+        assert np.all(d[ok] <= radius[tets[:, k]][ok] + 1e-6)
+    # hull detection is validated against scipy's ConvexHull
+    from scipy.spatial import ConvexHull
+
+    ch = ConvexHull(pts.astype(np.float64))
+    sci = np.zeros(pts.shape[0], bool)
+    sci[ch.vertices] = True
+    assert (hull == sci).all()
+
+
+def test_cell_bounds_conservative():
+    """Every finite Voronoi vertex (tet circumcenter) and the site itself
+    lie inside the cell's AABB."""
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((400, 3)).astype(np.float32)
+    tri = Triangulation(pts)
+    pts = pts[tri.permutation()]
+    tets = np.asarray(tri.tets())
+    bb_min, bb_max, hull = cell_bounds(pts, tets)
+    from radfoam_tpu.ops.cellbound import tet_circumcenters
+
+    assert np.all(bb_min <= pts + 1e-6) and np.all(bb_max >= pts - 1e-6)
+    cc, ok = tet_circumcenters(pts.astype(np.float64), tets)
+    for k in range(4):
+        i = tets[:, k][ok]
+        c = cc[ok]
+        assert np.all(c >= bb_min[i] - 1e-4)
+        assert np.all(c <= bb_max[i] + 1e-4)
