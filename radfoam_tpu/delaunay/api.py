@@ -218,3 +218,22 @@ class Triangulation:
     def max_degree(self):
         d = self._offsets[1:].astype(np.int64) - self._offsets[:-1]
         return int(d.max()) if d.size else 0
+
+    def cell_bounds(self, points=None):
+        """Per-cell finite Voronoi AABBs + hull flags for the rasterizer.
+
+        Uses the native engine's O(T) sequential pass when available (the
+        numpy fallback needs ``points``: the coordinates this triangulation
+        was built from, in triangulation order).
+
+        Returns (bb_min (N, 3) f32, bb_max (N, 3) f32, hull (N,) bool).
+        """
+        if hasattr(self._backend, "cell_bounds"):
+            return self._backend.cell_bounds()
+        if points is None:
+            raise ValueError(
+                "numpy cell_bounds fallback requires the point coordinates"
+            )
+        from radfoam_tpu.ops.cellbound import cell_bounds
+
+        return cell_bounds(_to_numpy(points), self._simplices)

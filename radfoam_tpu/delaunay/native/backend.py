@@ -77,6 +77,21 @@ def _load():
             ctypes.c_int64,
         ]
         lib.foam_revalidate.restype = ctypes.c_int
+        lib.foam_update.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.foam_update.restype = ctypes.c_int
+        lib.foam_cell_bounds.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_double,
+        ]
+        lib.foam_cell_bounds.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -134,6 +149,12 @@ class NativeBackend:
             raise TriangulationFailedError(
                 f"native triangulation failed (status {status})"
             )
+        self._cached = self._fetch_arrays(pts.shape[0])
+        return self._cached
+
+    def _fetch_arrays(self, n_points):
+        lib = self._lib
+        h = self._handle
         n_tets = lib.foam_num_tets(h)
         tets = np.empty((n_tets, 4), np.int32)
         lib.foam_get_tets(
@@ -141,14 +162,13 @@ class NativeBackend:
         )
         e = lib.foam_adjacency_size(h)
         adj = np.empty(e, np.uint32)
-        offsets = np.empty(pts.shape[0] + 1, np.uint32)
+        offsets = np.empty(n_points + 1, np.uint32)
         lib.foam_get_adjacency(
             h,
             adj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         )
-        self._cached = (tets, adj, offsets)
-        return self._cached
+        return (tets, adj, offsets)
 
     def triangulate(self, points):
         pts = np.ascontiguousarray(points, dtype=np.float32)
@@ -160,17 +180,49 @@ class NativeBackend:
         return self._build(pts)
 
     def retriangulate_with_adjacency(self, points):
-        """Incremental update: validity re-check, full rebuild on failure.
+        """Incremental update: exact local repair, full rebuild on failure.
 
-        Returns (tets, adj, offsets, rebuilt: bool).
+        foam_update moves the coordinates in place, detects the damaged
+        tets, and splices in a locally rebuilt Delaunay patch when the
+        certificate proves exactness (VERDICT r1 task 3; reference
+        delete-violations + regrow, delaunay.cu:291-310). Statuses:
+        0 = topology still valid, 3 = repaired in place, else full rebuild.
+
+        Returns (tets, adj, offsets, rebuilt: bool). ``rebuilt`` reports
+        whether a FULL rebuild happened (repairs count as incremental).
         """
         pts = np.ascontiguousarray(points, dtype=np.float32)
         if self._handle is not None and self._cached is not None:
-            status = self._lib.foam_revalidate(
+            stats = (ctypes.c_int64 * 2)()
+            status = self._lib.foam_update(
                 self._handle,
                 pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 pts.shape[0],
+                stats,
             )
+            self.last_update_stats = (int(stats[0]), int(stats[1]))
             if status == 0:
                 return (*self._cached, False)
+            if status == 3:
+                self._cached = self._fetch_arrays(pts.shape[0])
+                return (*self._cached, False)
         return (*self._build(pts), True)
+
+    def cell_bounds(self, fallback=0.0):
+        """Per-cell finite Voronoi AABBs + hull flags from the live mesh."""
+        if self._handle is None or self._cached is None:
+            raise NativeError("no triangulation built")
+        n = self._cached[2].shape[0] - 1
+        bbmin = np.empty((n, 3), np.float32)
+        bbmax = np.empty((n, 3), np.float32)
+        hull = np.empty(n, np.uint8)
+        status = self._lib.foam_cell_bounds(
+            self._handle,
+            bbmin.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            bbmax.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            hull.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            float(fallback),
+        )
+        if status != _OK:
+            raise NativeError(f"cell_bounds failed (status {status})")
+        return bbmin, bbmax, hull.astype(bool)

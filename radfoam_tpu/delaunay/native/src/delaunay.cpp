@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdlib>
+#include <cmath>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
@@ -247,15 +248,15 @@ struct Inserter {
     }
 };
 
-// build the mesh: points (n x 3 float32), already spatially sorted
-static int build(Mesh &m, const float *points, int64_t n) {
+// build the mesh: points (n x 3 double), already spatially sorted
+static int build(Mesh &m, const double *points, int64_t n) {
     if (n < 4) return TOO_FEW;
     m.pts.resize(3 * (n + 4));
     m.n_real = n;
     double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
     for (int64_t i = 0; i < n; ++i) {
         for (int d = 0; d < 3; ++d) {
-            double c = (double)points[3 * i + d];
+            double c = points[3 * i + d];
             m.pts[3 * i + d] = c;
             if (c < lo[d]) lo[d] = c;
             if (c > hi[d]) hi[d] = c;
@@ -415,6 +416,408 @@ static int adjacency(const Mesh &m, std::vector<uint32_t> &adj,
     return OK;
 }
 
+// ----------------------------------------------------------------------
+// Incremental repair after point motion (reference semantics:
+// delete-violations + local regrow, delaunay.cu:291-310 /
+// delete_violations.cu). The TPU-native host design:
+//
+//   1. One exact scan marks every tet that is inverted or has a face that
+//      is no longer locally Delaunay (the round-1 detector, generalized
+//      to collect the full damage set instead of early-returning).
+//   2. The damaged tets are carved; a fresh local Delaunay triangulation
+//      of just their vertices (typically <<1% of the mesh) is built with
+//      the same Bowyer-Watson inserter and exact predicates.
+//   3. The hole is filled by flooding the local DT from the hole-boundary
+//      faces; the fill must match the boundary watertight.
+//   4. Before mutating anything, a certificate pass re-checks every new
+//      and boundary face (orientation + strict local Delaunayness). By
+//      the Delaunay lemma (a positively oriented triangulation whose
+//      every interior face is locally Delaunay is globally Delaunay),
+//      passing the certificate proves the repaired mesh is exactly the
+//      Delaunay triangulation of the moved points. Any failure leaves the
+//      mesh untouched and reports "full rebuild required".
+
+struct FaceKey {
+    int32_t a, b, c;  // sorted ascending
+    bool operator==(const FaceKey &o) const {
+        return a == o.a && b == o.b && c == o.c;
+    }
+};
+struct FaceKeyHash {
+    size_t operator()(const FaceKey &f) const {
+        uint64_t x = (uint64_t)(uint32_t)f.a;
+        x = x * 0x9E3779B97F4A7C15ull + (uint32_t)f.b;
+        x = x * 0x9E3779B97F4A7C15ull + (uint32_t)f.c;
+        x ^= x >> 29;
+        x *= 0xBF58476D1CE4E5B9ull;
+        x ^= x >> 32;
+        return (size_t)x;
+    }
+};
+
+static inline FaceKey face_key(int32_t x, int32_t y, int32_t z) {
+    if (x > y) std::swap(x, y);
+    if (y > z) std::swap(y, z);
+    if (x > y) std::swap(x, y);
+    return FaceKey{x, y, z};
+}
+
+// mark every tet violating orientation or local Delaunayness (both sides
+// of a failing face are marked). Returns the number of marked tets.
+static int64_t mark_failures(const Mesh &m, std::vector<uint8_t> &fail) {
+    fail.assign(m.tets.size(), 0);
+    int64_t n_marked = 0;
+    int64_t ntets = (int64_t)m.tets.size();
+    for (int64_t t = 0; t < ntets; ++t) {
+        const Tet &tet = m.tets[t];
+        if (!tet.alive) continue;
+        if (orient3d_sign(m.P(tet.v[0]), m.P(tet.v[1]), m.P(tet.v[2]),
+                          m.P(tet.v[3])) <= 0) {
+            if (!fail[t]) { fail[t] = 1; ++n_marked; }
+            continue;
+        }
+        for (int i = 0; i < 4; ++i) {
+            int32_t nb = tet.n[i];
+            if (nb == kNone || nb < (int32_t)t) continue;  // visit once
+            const Tet &other = m.tets[nb];
+            int32_t apex = kNone;
+            for (int j = 0; j < 4; ++j)
+                if (other.n[j] == (int32_t)t) { apex = other.v[j]; break; }
+            if (apex == kNone || m.insphere_tet(tet, m.P(apex)) >= 0) {
+                if (!fail[t]) { fail[t] = 1; ++n_marked; }
+                if (!fail[nb]) { fail[nb] = 1; ++n_marked; }
+            }
+        }
+    }
+    return n_marked;
+}
+
+struct RepairResult {
+    int status;       // OK = repaired or already valid; else rebuild
+    bool changed;     // true if tets were replaced
+    int64_t n_bad;    // damage-set size (diagnostics)
+    int64_t n_local;  // local DT vertex count (diagnostics)
+};
+
+static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
+    RepairResult rr{OK, false, 0, 0};
+    std::vector<uint8_t> fail;
+    rr.n_bad = mark_failures(m, fail);
+    if (rr.n_bad == 0) return rr;
+
+    std::vector<int32_t> carve;
+    carve.reserve(rr.n_bad);
+    for (int64_t t = 0; t < (int64_t)m.tets.size(); ++t)
+        if (fail[t]) carve.push_back((int32_t)t);
+    // damage too large: a full rebuild is cheaper / safer
+    if ((int64_t)carve.size() * 8 > (int64_t)m.tets.size()) {
+        rr.status = INTERNAL;
+        return rr;
+    }
+
+    // vertex set W of the carved region (global ids; supers included)
+    std::vector<int32_t> W;
+    {
+        std::vector<uint8_t> seen(m.n_real + 4, 0);
+        for (int32_t tid : carve)
+            for (int i = 0; i < 4; ++i) {
+                int32_t v = m.tets[tid].v[i];
+                if (!seen[v]) { seen[v] = 1; W.push_back(v); }
+            }
+    }
+    std::sort(W.begin(), W.end());  // caller pre-sorts points spatially,
+                                    // so id order ~ Morton order
+    rr.n_local = (int64_t)W.size();
+    if (w_out) *w_out = W;
+
+    // hole boundary: carved-side faces whose neighbor is kept (or kNone)
+    struct BFace {
+        int32_t kept, kept_slot, apex;
+        int32_t consumed;
+    };
+    std::unordered_map<FaceKey, BFace, FaceKeyHash> bmap;
+    bmap.reserve(carve.size() * 2);
+    for (int32_t tid : carve) {
+        const Tet &t = m.tets[tid];
+        for (int i = 0; i < 4; ++i) {
+            int32_t nb = t.n[i];
+            if (nb != kNone && fail[nb]) continue;  // internal to the hole
+            FaceKey key = face_key(t.v[kFace[i][0]], t.v[kFace[i][1]],
+                                   t.v[kFace[i][2]]);
+            int kept_slot = -1;
+            if (nb != kNone) {
+                for (int j = 0; j < 4; ++j)
+                    if (m.tets[nb].n[j] == tid) { kept_slot = j; break; }
+                if (kept_slot < 0) { rr.status = INTERNAL; return rr; }
+            }
+            bmap.emplace(key, BFace{nb, kept_slot, t.v[i], 0});
+        }
+    }
+
+    // local Delaunay triangulation of W (exact same double coords)
+    Mesh lm;
+    {
+        std::vector<double> coords(3 * W.size());
+        for (size_t i = 0; i < W.size(); ++i)
+            for (int d = 0; d < 3; ++d) coords[3 * i + d] = m.P(W[i])[d];
+        if ((int64_t)W.size() < 4 ||
+            build(lm, coords.data(), (int64_t)W.size()) != OK) {
+            rr.status = DEGENERATE;
+            return rr;
+        }
+    }
+    int64_t nW = (int64_t)W.size();
+
+    // local face map: global face key -> up to two (local tet, slot)
+    struct FaceSlots {
+        int32_t t0 = kNone, s0 = -1, t1 = kNone, s1 = -1;
+    };
+    std::unordered_map<FaceKey, FaceSlots, FaceKeyHash> lfaces;
+    lfaces.reserve(lm.tets.size() * 2);
+    for (int64_t lt = 0; lt < (int64_t)lm.tets.size(); ++lt) {
+        const Tet &t = lm.tets[lt];
+        if (!t.alive) continue;
+        for (int i = 0; i < 4; ++i) {
+            int32_t f0 = t.v[kFace[i][0]], f1 = t.v[kFace[i][1]],
+                    f2 = t.v[kFace[i][2]];
+            if (f0 >= nW || f1 >= nW || f2 >= nW) continue;  // local super
+            FaceKey key = face_key(W[f0], W[f1], W[f2]);
+            FaceSlots &fs = lfaces[key];
+            if (fs.t0 == kNone) { fs.t0 = (int32_t)lt; fs.s0 = i; }
+            else { fs.t1 = (int32_t)lt; fs.s1 = i; }
+        }
+    }
+
+    // flood the fill region from every boundary face, staying on the
+    // carved-apex side and never crossing the local hull
+    std::vector<int8_t> in_fill(lm.tets.size(), 0);
+    std::vector<int32_t> fill, stack;
+    auto local_has_super = [&](int32_t lt) {
+        const Tet &t = lm.tets[lt];
+        return t.v[0] >= nW || t.v[1] >= nW || t.v[2] >= nW || t.v[3] >= nW;
+    };
+    for (auto &kv : bmap) {
+        const FaceKey &key = kv.first;
+        BFace &bf = kv.second;
+        auto it = lfaces.find(key);
+        if (it == lfaces.end()) { rr.status = INTERNAL; return rr; }
+        int s_apex = orient3d_sign(m.P(key.a), m.P(key.b), m.P(key.c),
+                                   m.P(bf.apex));
+        if (s_apex == 0) { rr.status = DEGENERATE; return rr; }
+        int32_t seed = kNone;
+        for (int cand = 0; cand < 2; ++cand) {
+            int32_t lt = cand == 0 ? it->second.t0 : it->second.t1;
+            int slot = cand == 0 ? it->second.s0 : it->second.s1;
+            if (lt == kNone) continue;
+            int32_t d_local = lm.tets[lt].v[slot];
+            if (d_local >= nW) continue;  // apex is a local super vertex
+            int s = orient3d_sign(m.P(key.a), m.P(key.b), m.P(key.c),
+                                  m.P(W[d_local]));
+            if (s == s_apex) { seed = lt; break; }
+        }
+        if (seed == kNone) { rr.status = INTERNAL; return rr; }
+        if (!in_fill[seed]) {
+            in_fill[seed] = 1;
+            fill.push_back(seed);
+            stack.push_back(seed);
+        }
+    }
+    while (!stack.empty()) {
+        int32_t lt = stack.back();
+        stack.pop_back();
+        const Tet &t = lm.tets[lt];
+        for (int i = 0; i < 4; ++i) {
+            int32_t f0 = t.v[kFace[i][0]], f1 = t.v[kFace[i][1]],
+                    f2 = t.v[kFace[i][2]];
+            bool super_face = f0 >= nW || f1 >= nW || f2 >= nW;
+            if (!super_face) {
+                FaceKey key = face_key(W[f0], W[f1], W[f2]);
+                if (bmap.count(key)) continue;  // stop at the hole boundary
+            }
+            int32_t nb = t.n[i];
+            if (nb == kNone || super_face || local_has_super(nb)) {
+                // leaked out of the hole
+                rr.status = INTERNAL;
+                return rr;
+            }
+            if (!in_fill[nb]) {
+                in_fill[nb] = 1;
+                fill.push_back(nb);
+                stack.push_back(nb);
+            }
+        }
+    }
+
+    // watertightness: every fill face is either shared inside the fill or
+    // consumes exactly one boundary face (on the correct side)
+    for (int32_t lt : fill) {
+        const Tet &t = lm.tets[lt];
+        if (local_has_super(lt)) { rr.status = INTERNAL; return rr; }
+        for (int i = 0; i < 4; ++i) {
+            FaceKey key = face_key(W[t.v[kFace[i][0]]], W[t.v[kFace[i][1]]],
+                                   W[t.v[kFace[i][2]]]);
+            auto bit = bmap.find(key);
+            if (bit != bmap.end()) {
+                bit->second.consumed++;
+            } else {
+                int32_t nb = t.n[i];
+                if (nb == kNone || !in_fill[nb]) {
+                    rr.status = INTERNAL;
+                    return rr;
+                }
+            }
+        }
+    }
+    for (auto &kv : bmap)
+        if (kv.second.consumed != 1) { rr.status = INTERNAL; return rr; }
+
+    // certificate (pre-splice): every fill tet positively oriented; every
+    // fill-fill and fill-kept face strictly locally Delaunay both ways
+    for (int32_t lt : fill) {
+        const Tet &t = lm.tets[lt];
+        const double *q0 = m.P(W[t.v[0]]), *q1 = m.P(W[t.v[1]]),
+                     *q2 = m.P(W[t.v[2]]), *q3 = m.P(W[t.v[3]]);
+        if (orient3d_sign(q0, q1, q2, q3) <= 0) {
+            rr.status = DEGENERATE;
+            return rr;
+        }
+        for (int i = 0; i < 4; ++i) {
+            FaceKey key = face_key(W[t.v[kFace[i][0]]], W[t.v[kFace[i][1]]],
+                                   W[t.v[kFace[i][2]]]);
+            auto bit = bmap.find(key);
+            if (bit != bmap.end()) {
+                const BFace &bf = bit->second;
+                if (bf.kept == kNone) continue;  // outer super boundary
+                const Tet &kt = m.tets[bf.kept];
+                int32_t kept_apex = kt.v[bf.kept_slot];
+                if (insphere_sign(q0, q1, q2, q3, m.P(kept_apex)) >= 0 ||
+                    insphere_sign(m.P(kt.v[0]), m.P(kt.v[1]), m.P(kt.v[2]),
+                                  m.P(kt.v[3]), m.P(W[t.v[i]])) >= 0) {
+                    rr.status = INTERNAL;
+                    return rr;
+                }
+            } else {
+                int32_t nb = t.n[i];
+                // apex of the neighbor across this face
+                const Tet &nt = lm.tets[nb];
+                int32_t apex = kNone;
+                for (int j = 0; j < 4; ++j)
+                    if (nt.n[j] == lt) { apex = nt.v[j]; break; }
+                if (apex == kNone ||
+                    insphere_sign(q0, q1, q2, q3, m.P(W[apex])) >= 0) {
+                    rr.status = INTERNAL;
+                    return rr;
+                }
+            }
+        }
+    }
+
+    // splice: kill the carved tets, materialize the fill with global ids
+    for (int32_t tid : carve) {
+        m.tets[tid].alive = 0;
+        m.free_list.push_back(tid);
+    }
+    std::vector<int32_t> l2g(lm.tets.size(), kNone);
+    for (int32_t lt : fill) l2g[lt] = m.alloc_tet();
+    for (int32_t lt : fill) {
+        const Tet &src = lm.tets[lt];
+        int32_t gid = l2g[lt];
+        Tet &dst = m.tets[gid];
+        for (int i = 0; i < 4; ++i) dst.v[i] = W[src.v[i]];
+        for (int i = 0; i < 4; ++i) {
+            FaceKey key = face_key(dst.v[kFace[i][0]], dst.v[kFace[i][1]],
+                                   dst.v[kFace[i][2]]);
+            auto bit = bmap.find(key);
+            if (bit != bmap.end()) {
+                const BFace &bf = bit->second;
+                dst.n[i] = bf.kept;
+                if (bf.kept != kNone)
+                    m.tets[bf.kept].n[bf.kept_slot] = gid;
+            } else {
+                dst.n[i] = l2g[src.n[i]];
+            }
+        }
+    }
+    rr.changed = true;
+    return rr;
+}
+
+// recompute the adjacency rows of just the vertices in the damage set and
+// splice them into the cached CSR (rows of untouched vertices cannot
+// change: an edge (u, w) exists iff some tet contains both, and only tets
+// incident to damaged vertices were replaced)
+static int adjacency_patch(const Mesh &m, const std::vector<int32_t> &verts,
+                           std::vector<uint32_t> &adj,
+                           std::vector<uint32_t> &offsets) {
+    int64_t n = m.n_real;
+    std::vector<uint8_t> dirty(n, 0);
+    for (int32_t v : verts)
+        if (v < n) dirty[v] = 1;
+
+    // v2t for dirty vertices
+    std::vector<int32_t> v2t(n, kNone);
+    for (size_t t = 0; t < m.tets.size(); ++t) {
+        const Tet &tet = m.tets[t];
+        if (!tet.alive) continue;
+        for (int i = 0; i < 4; ++i) {
+            int32_t v = tet.v[i];
+            if (v < n && dirty[v]) v2t[v] = (int32_t)t;
+        }
+    }
+
+    std::vector<uint32_t> tet_stamp(m.tets.size(), 0);
+    std::vector<uint32_t> vert_stamp(n + 4, 0);
+    uint32_t stamp = 0;
+    std::vector<int32_t> stack;
+    std::vector<uint32_t> row;
+    std::vector<uint32_t> new_adj;
+    new_adj.reserve(adj.size() + verts.size() * 4);
+    std::vector<uint32_t> new_offsets(n + 1, 0);
+
+    for (int64_t v = 0; v < n; ++v) {
+        if (!dirty[v]) {
+            uint32_t b = offsets[v], e = offsets[v + 1];
+            new_offsets[v + 1] = new_offsets[v] + (e - b);
+            new_adj.insert(new_adj.end(), adj.begin() + b, adj.begin() + e);
+            continue;
+        }
+        if (v2t[v] == kNone) return INTERNAL;
+        stamp++;
+        stack.clear();
+        row.clear();
+        stack.push_back(v2t[v]);
+        tet_stamp[v2t[v]] = stamp;
+        while (!stack.empty()) {
+            int32_t tid = stack.back();
+            stack.pop_back();
+            const Tet &t = m.tets[tid];
+            int vslot = -1;
+            for (int i = 0; i < 4; ++i) {
+                int32_t u = t.v[i];
+                if (u == (int32_t)v) { vslot = i; continue; }
+                if (u < n && vert_stamp[u] != stamp) {
+                    vert_stamp[u] = stamp;
+                    row.push_back((uint32_t)u);
+                }
+            }
+            for (int i = 0; i < 4; ++i) {
+                if (i == vslot) continue;
+                int32_t nb = t.n[i];
+                if (nb == kNone || !m.tets[nb].alive) continue;
+                if (tet_stamp[nb] == stamp) continue;
+                tet_stamp[nb] = stamp;
+                stack.push_back(nb);
+            }
+        }
+        std::sort(row.begin(), row.end());
+        new_offsets[v + 1] = new_offsets[v] + (uint32_t)row.size();
+        new_adj.insert(new_adj.end(), row.begin(), row.end());
+    }
+    adj.swap(new_adj);
+    offsets.swap(new_offsets);
+    return OK;
+}
+
 }  // namespace foam
 
 // ----------------------------------------------------------------------
@@ -438,7 +841,9 @@ void foam_destroy(FoamTriangulation *h) { delete h; }
 // Returns a Status code (0 = OK).
 int foam_build(FoamTriangulation *h, const float *points, int64_t n) {
     h->mesh = foam::Mesh();
-    int status = foam::build(h->mesh, points, n);
+    std::vector<double> coords(3 * n);
+    for (int64_t i = 0; i < 3 * n; ++i) coords[i] = (double)points[i];
+    int status = foam::build(h->mesh, coords.data(), n);
     if (status != foam::OK) return status;
     foam::collect_tets(h->mesh, h->live_tets);
     return foam::adjacency(h->mesh, h->adj, h->offsets);
@@ -460,12 +865,135 @@ int foam_revalidate(FoamTriangulation *h, const float *points, int64_t n) {
     return foam::still_valid(h->mesh) ? 0 : 1;
 }
 
+// Incremental update: move the points, then try the exact local repair
+// (detect -> carve -> local DT -> fill -> certificate). Returns:
+//   0 = still valid, nothing changed
+//   3 = repaired locally; tets/adjacency refreshed
+//   1 = repair not possible -> caller must full-rebuild
+//   2 = point-count mismatch
+int foam_update(FoamTriangulation *h, const float *points, int64_t n,
+                int64_t *stats_out /* [n_bad, n_local] or null */) {
+    if (n != h->mesh.n_real || h->mesh.tets.empty()) return 2;
+    for (int64_t i = 0; i < n; ++i)
+        for (int d = 0; d < 3; ++d)
+            h->mesh.pts[3 * i + d] = (double)points[3 * i + d];
+    std::vector<int32_t> W;
+    foam::RepairResult rr = foam::try_repair(h->mesh, &W);
+    if (stats_out) {
+        stats_out[0] = rr.n_bad;
+        stats_out[1] = rr.n_local;
+    }
+    if (rr.status != foam::OK) return 1;
+    if (!rr.changed) return 0;
+    foam::collect_tets(h->mesh, h->live_tets);
+    // adjacency rows can only change for the damage-set vertices (an edge
+    // (u, w) exists iff some tet contains both; only tets incident to W
+    // were replaced), so patch just those rows into the cached CSR
+    if (foam::adjacency_patch(h->mesh, W, h->adj, h->offsets) != foam::OK)
+        return 1;
+    return 3;
+}
+
 // Export live finite tets as (T x 4) int32
 void foam_get_tets(FoamTriangulation *h, int32_t *out) {
     for (size_t i = 0; i < h->live_tets.size(); ++i) {
         const foam::Tet &t = h->mesh.tets[h->live_tets[i]];
         for (int j = 0; j < 4; ++j) out[4 * i + j] = t.v[j];
     }
+}
+
+// Per-cell AABB of each Voronoi cell's finite extent + hull flags, straight
+// off the live mesh (sequential; the numpy path is pathologically slow on
+// random access at 10M-tet scale). A bounded Voronoi cell is the convex
+// hull of its incident tet circumcenters, so their AABB (plus the site)
+// contains the cell exactly. Tets touching a super vertex mark their real
+// vertices as hull (the far super points see every hull vertex).
+// Near-degenerate tets contribute a +-fallback cube (fallback <= 0 picks
+// the data bbox diagonal). f32 outputs are rounded outward.
+int foam_cell_bounds(FoamTriangulation *h, float *bbmin, float *bbmax,
+                     uint8_t *hull, double fallback) {
+    const foam::Mesh &m = h->mesh;
+    int64_t n = m.n_real;
+    if (n == 0 || m.tets.empty()) return foam::INTERNAL;
+
+    if (fallback <= 0.0) {
+        double lo[3] = {1e300, 1e300, 1e300};
+        double hi[3] = {-1e300, -1e300, -1e300};
+        for (int64_t i = 0; i < n; ++i)
+            for (int d = 0; d < 3; ++d) {
+                double c = m.pts[3 * i + d];
+                if (c < lo[d]) lo[d] = c;
+                if (c > hi[d]) hi[d] = c;
+            }
+        fallback = 0.0;
+        for (int d = 0; d < 3; ++d)
+            fallback += (hi[d] - lo[d]) * (hi[d] - lo[d]);
+        fallback = std::sqrt(fallback);
+    }
+
+    std::vector<double> lo(3 * n, 1e300), hi(3 * n, -1e300);
+    std::memset(hull, 0, (size_t)n);
+
+    for (size_t t = 0; t < m.tets.size(); ++t) {
+        const foam::Tet &tet = m.tets[t];
+        if (!tet.alive) continue;
+        bool super = tet.v[0] >= n || tet.v[1] >= n || tet.v[2] >= n ||
+                     tet.v[3] >= n;
+        if (super) {
+            for (int i = 0; i < 4; ++i)
+                if (tet.v[i] < n) hull[tet.v[i]] = 1;
+            continue;
+        }
+        // circumcenter by Cramer's rule on 2 (v_k - v_0) . x = |v_k|^2-|v_0|^2
+        const double *a = m.P(tet.v[0]);
+        double ba[3], ca[3], da[3];
+        for (int d = 0; d < 3; ++d) {
+            ba[d] = m.P(tet.v[1])[d] - a[d];
+            ca[d] = m.P(tet.v[2])[d] - a[d];
+            da[d] = m.P(tet.v[3])[d] - a[d];
+        }
+        double rb = 0.5 * (ba[0] * ba[0] + ba[1] * ba[1] + ba[2] * ba[2]);
+        double rc = 0.5 * (ca[0] * ca[0] + ca[1] * ca[1] + ca[2] * ca[2]);
+        double rd = 0.5 * (da[0] * da[0] + da[1] * da[1] + da[2] * da[2]);
+        double xcd[3] = {ca[1] * da[2] - ca[2] * da[1],
+                         ca[2] * da[0] - ca[0] * da[2],
+                         ca[0] * da[1] - ca[1] * da[0]};
+        double xdb[3] = {da[1] * ba[2] - da[2] * ba[1],
+                         da[2] * ba[0] - da[0] * ba[2],
+                         da[0] * ba[1] - da[1] * ba[0]};
+        double xbc[3] = {ba[1] * ca[2] - ba[2] * ca[1],
+                         ba[2] * ca[0] - ba[0] * ca[2],
+                         ba[0] * ca[1] - ba[1] * ca[0]};
+        double det = ba[0] * xcd[0] + ba[1] * xcd[1] + ba[2] * xcd[2];
+        double cc[3];
+        bool ok = std::abs(det) > 1e-30;
+        if (ok) {
+            double inv = 1.0 / det;
+            for (int d = 0; d < 3; ++d)
+                cc[d] = a[d] + (rb * xcd[d] + rc * xdb[d] + rd * xbc[d]) * inv;
+        }
+        for (int i = 0; i < 4; ++i) {
+            int64_t v = tet.v[i];
+            double *l = &lo[3 * v], *hh = &hi[3 * v];
+            for (int d = 0; d < 3; ++d) {
+                double cl = ok ? cc[d] : m.P((int32_t)v)[d] - fallback;
+                double ch = ok ? cc[d] : m.P((int32_t)v)[d] + fallback;
+                if (cl < l[d]) l[d] = cl;
+                if (ch > hh[d]) hh[d] = ch;
+            }
+        }
+    }
+
+    for (int64_t v = 0; v < n; ++v) {
+        for (int d = 0; d < 3; ++d) {
+            double site = m.pts[3 * v + d];
+            double l = std::min(lo[3 * v + d], site);
+            double hh = std::max(hi[3 * v + d], site);
+            bbmin[3 * v + d] = std::nextafterf((float)l, -1e30f);
+            bbmax[3 * v + d] = std::nextafterf((float)hh, 1e30f);
+        }
+    }
+    return foam::OK;
 }
 
 int64_t foam_adjacency_size(FoamTriangulation *h) {

@@ -103,15 +103,25 @@ def cell_bounds(points, tets, num_points=None, degenerate_fallback=None):
         )
 
     cc, ok = tet_circumcenters(points, tets)
+    # segment min/max via argsort + reduceat (np.minimum.at is ~100x
+    # slower at the 10M-tet scale)
+    T = tets.shape[0]
+    ids = tets.T.reshape(-1)  # (4T,) incidence: all of column k, then k+1
+    site = points[ids]
+    ccr = np.broadcast_to(cc, (4, T, 3)).reshape(-1, 3)
+    okr = np.broadcast_to(ok, (4, T)).reshape(-1)
+    lo = np.where(okr[:, None], ccr, site - degenerate_fallback)
+    hi = np.where(okr[:, None], ccr, site + degenerate_fallback)
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    bounds_idx = np.flatnonzero(
+        np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+    )
+    seg_ids = ids_s[bounds_idx]
     bb_min = np.full((cap, 3), np.inf)
     bb_max = np.full((cap, 3), -np.inf)
-    for k in range(4):
-        idx = tets[:, k]
-        site = points[idx]
-        lo = np.where(ok[:, None], cc, site - degenerate_fallback)
-        hi = np.where(ok[:, None], cc, site + degenerate_fallback)
-        np.minimum.at(bb_min, idx, lo)
-        np.maximum.at(bb_max, idx, hi)
+    bb_min[seg_ids] = np.minimum.reduceat(lo[order], bounds_idx, axis=0)
+    bb_max[seg_ids] = np.maximum.reduceat(hi[order], bounds_idx, axis=0)
     # the site itself is inside its cell; padding rows collapse to a point
     upto = min(n, cap)
     bb_min[:upto] = np.minimum(bb_min[:upto], points[:upto])

@@ -186,18 +186,19 @@ def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, fov,
     tile = jnp.where(valid, tile, n_tiles)
 
     # depth key: conservative lower bound of per-pixel t_in (unit-direction
-    # ray parameter >= metric distance to the bounding sphere)
+    # ray parameter >= metric distance to the bounding sphere). The key is
+    # per CELL (camera-dependent but tile-independent).
     dist = jnp.linalg.norm(rel, axis=-1)
-    key = jnp.take(dist - e_norm, cell)
-    key = jnp.where(valid, key, jnp.inf)
+    key_cell = dist - e_norm
+    key = jnp.where(valid, jnp.take(key_cell, cell), jnp.inf)
 
-    tile_s, key_s, cell_s = jax.lax.sort(
+    tile_s, _, cell_s = jax.lax.sort(
         (tile, key, cell), num_keys=2
     )
     starts = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return cell_s, key_s, starts, n_pairs
+    return cell_s, key_cell, starts, n_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -390,8 +391,9 @@ def _buffer_pop(state, key_now, wt, force_for_insert):
     return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
 
 
-def _buffer_insert(state, t_new, od_new, rgb_new, live):
+def _buffer_insert(state, t_new, od_new, rgb3, live):
     (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = state
+    r_new, g_new, b_new = rgb3  # each (1, P)
     free = S_od <= 0.0
     slot = jax.lax.broadcasted_iota(jnp.int32, free.shape, 0)
     first = jnp.min(jnp.where(free, slot, free.shape[0]), axis=0,
@@ -399,9 +401,9 @@ def _buffer_insert(state, t_new, od_new, rgb_new, live):
     ins = free & (slot == first) & live
     S_t = jnp.where(ins, t_new, S_t)
     S_od = jnp.where(ins, od_new, S_od)
-    S_r = jnp.where(ins, rgb_new[0:1], S_r)
-    S_g = jnp.where(ins, rgb_new[1:2], S_g)
-    S_b = jnp.where(ins, rgb_new[2:3], S_b)
+    S_r = jnp.where(ins, r_new, S_r)
+    S_g = jnp.where(ins, g_new, S_g)
+    S_b = jnp.where(ins, b_new, S_b)
     return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
 
 
@@ -423,30 +425,105 @@ def _buffer_drain(state, wt, W):
     return state
 
 
-def _composite_step(bst, col, key_col, in_list, origin, dir_rows, basis,
-                    K, A, wt, Wbuf):
-    """Shared per-entry composite step (kernel + reference)."""
-    od, rgb_p, t_in = _entry_core(col, origin, dir_rows, basis, K, A)
+def _apply_entry(bst, od, rgb3, t_in, key_e, in_list, wt, Wbuf):
+    """Apply one entry's (od, rgb, t_in) to the composite state."""
     if Wbuf > 0:
-        key_e = jnp.where(
-            in_list, col[key_col, 0], -jnp.inf
-        ) * jnp.ones((1, 1), jnp.float32)
+        key_e = jnp.where(in_list, key_e, -jnp.inf)
         T = bst[5]
         live = in_list & (od > 0.0) & (T > wt)
         bst = _buffer_pop(bst, key_e, wt, live)
-        bst = _buffer_insert(bst, t_in, od, rgb_p, live)
+        bst = _buffer_insert(bst, t_in, od, rgb3, live)
     else:
         (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
         live = in_list & (T > wt)
         od = jnp.where(live, od, 0.0)
         decay = jnp.exp(-od)
         w = T * (1.0 - decay)
-        rgb_r = rgb_r + w * rgb_p[0:1]
-        rgb_g = rgb_g + w * rgb_p[1:2]
-        rgb_b = rgb_b + w * rgb_p[2:3]
+        rgb_r = rgb_r + w * rgb3[0]
+        rgb_g = rgb_g + w * rgb3[1]
+        rgb_b = rgb_b + w * rgb3[2]
         T = T * decay
         bst = (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
     return bst
+
+
+def _chunk_precompute(chunk_t, origin, basis, K, A, key_col):
+    """Batch the per-chunk camera-dependent quantities.
+
+    chunk_t: (Wrow, CE) transposed rows. Returns (vx, vy, vz (K, CE),
+    num (K, CE), sig (1, CE), key (1, CE), rgb[(CE, P)] x 3). Batching the
+    SH decode into three chunk-wide MXU contractions and the plane
+    numerators into one (K, CE) pass removes all per-entry scalar-unit
+    work from the inner loop.
+    """
+    ox, oy, oz = origin
+    vx = chunk_t[3 : 3 + K]
+    vy = chunk_t[3 + K : 3 + 2 * K]
+    vz = chunk_t[3 + 2 * K : 3 + 3 * K]
+    px = chunk_t[0:1]
+    py = chunk_t[1:2]
+    pz = chunk_t[2:3]
+    num = (
+        vx * (px - ox) + vy * (py - oy) + vz * (pz - oz)
+        + 0.5 * (vx * vx + vy * vy + vz * vz)
+    )
+    sig = chunk_t[3 + 3 * K + A - 1 : 3 + 3 * K + A]
+    key = chunk_t[key_col : key_col + 1]
+    D = (A - 1) // 3
+    base = 3 + 3 * K
+    rgb = []
+    for c in range(3):
+        coeff = chunk_t[base + c * D : base + (c + 1) * D]  # (D, CE)
+        rgb.append(
+            jnp.maximum(
+                0.5
+                + jax.lax.dot_general(
+                    coeff, basis, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                0.0,
+            )
+        )  # (CE, P)
+    return vx, vy, vz, num, sig, key, rgb
+
+
+def _entry_from_chunk(pre, e, dir_rows):
+    """Entry e's (od, rgb3, t_in, key) from the chunk precompute."""
+    vx, vy, vz, num, sig, key, rgb = pre
+    dirx, diry, dirz = dir_rows
+    den = (
+        vx[:, e : e + 1] * dirx
+        + vy[:, e : e + 1] * diry
+        + vz[:, e : e + 1] * dirz
+    )  # (K, P)
+    t = num[:, e : e + 1] / den
+    t_out = jnp.min(
+        jnp.where(den > 0.0, t, jnp.inf), axis=0, keepdims=True
+    )
+    t_in = jnp.max(
+        jnp.where(den < 0.0, t, 0.0), axis=0, keepdims=True
+    )
+    seg = jnp.where(
+        jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+    )
+    sig_e = sig[0:1, e : e + 1]  # (1, 1)
+    od = sig_e * seg
+    color_on = sig_e > 1e-6
+    rgb3 = tuple(
+        jnp.where(color_on, rgb[c][e : e + 1], 0.0) for c in range(3)
+    )
+    return od, rgb3, t_in, key[0:1, e : e + 1]
+
+
+def _composite_step(bst, col, key_col, in_list, origin, dir_rows, basis,
+                    K, A, wt, Wbuf):
+    """Per-entry composite step (jnp reference path)."""
+    od, rgb_p, t_in = _entry_core(col, origin, dir_rows, basis, K, A)
+    key_e = col[key_col : key_col + 1, 0:1]
+    return _apply_entry(
+        bst, od, (rgb_p[0:1], rgb_p[1:2], rgb_p[2:3]), t_in, key_e,
+        in_list, wt, Wbuf,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -502,12 +579,13 @@ def _composite_kernel(cfg, K, A, width, height, ntx,
 
         get_dma(c % 2, c).wait()
         chunk_t = _mxu_transpose(buf[c % 2])  # (Wrow, CE)
+        pre = _chunk_precompute(chunk_t, origin, basis, K, A, key_col)
 
         for e in range(CE):
-            col = chunk_t[:, e : e + 1]  # (Wrow, 1)
+            od, rgb3, t_in, key_e = _entry_from_chunk(pre, e, dir_rows)
             in_list = c * CE + e < length
-            bst = _composite_step(bst, col, key_col, in_list, origin,
-                                  dir_rows, basis, K, A, wt, Wbuf)
+            bst = _apply_entry(bst, od, rgb3, t_in, key_e, in_list, wt,
+                               Wbuf)
 
         return (c + 1,) + bst
 
@@ -691,7 +769,7 @@ def render_frame(rpacked, bb_min, bb_max, density, pos, fwd, rgt, up, fov,
     A = 1 + 3 * (cfg.sh_degree + 1) ** 2
     K = (W - 3 - A) // 3
 
-    cell_s, key_s, starts, n_pairs = bin_pairs(
+    cell_s, key_cell, starts, n_pairs = bin_pairs(
         bb_min, bb_max, density, pos, fwd, rgt, up, fov,
         width=width, height=height, cfg=cfg,
     )
@@ -715,22 +793,14 @@ def render_frame(rpacked, bb_min, bb_max, density, pos, fwd, rgt, up, fov,
     valid = within < jnp.take(lens, tile_of)
     src = jnp.take(starts, tile_of) + jnp.where(valid, within, 0)
     cell_p = jnp.where(valid, jnp.take(cell_s, src), 0)
-    key_p = jnp.where(valid, jnp.take(key_s, src), 0.0)
 
-    planar = pack_raster_planar(rpacked, K, A)
-    rows = jnp.concatenate(
-        [
-            jnp.take(planar, cell_p, axis=0),
-            jnp.where(jnp.isfinite(key_p), key_p, 0.0)[:, None],
-        ],
-        axis=1,
-    )
-    # pad width to a lane-tile multiple (Mosaic HBM slices must be
-    # 128-aligned in the minor dim) and length by one DMA chunk
+    # planar pack + width pad + per-frame key column, then ONE gather into
+    # the aligned layout (the sort key is per cell, so it rides in the row)
     W_pad = -(-(W + 1) // 128) * 128
-    rows = jnp.pad(
-        rows, ((0, CE), (0, W_pad - (W + 1)))
-    )
+    planar = pack_raster_planar(rpacked, K, A)
+    planar = jnp.pad(planar, ((0, 0), (0, W_pad - W)))
+    planar = planar.at[:, W].set(key_cell)
+    rows = jnp.take(planar, cell_p, axis=0)
     ds = 1.0 / jnp.tan(fov * 0.5)
     cam = jnp.concatenate(
         [pos, fwd, rgt, up, jnp.reshape(ds, (1,)),

@@ -46,7 +46,7 @@ def foam_scene(n_points=131_072, sh_degree=3, seed=0):
 
 
 def trained_like_scene(n_points=2_097_152, sh_degree=3, seed=0,
-                       n_blobs=24, surface_frac=0.25):
+                       n_blobs=24, surface_frac=0.25, shell_noise=0.05):
     """Trained-checkpoint-like foam at a given point count.
 
     ``surface_frac`` of the points sit on thin shells of random blobs and
@@ -63,8 +63,8 @@ def trained_like_scene(n_points=2_097_152, sh_degree=3, seed=0,
     blob = rng.integers(0, n_blobs, n_surf)
     u = rng.standard_normal((n_surf, 3))
     u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-12
-    shell_noise = 1.0 + rng.standard_normal(n_surf) * 0.02
-    surf = centers[blob] + u * (radii[blob] * shell_noise)[:, None]
+    shell_jitter = 1.0 + rng.standard_normal(n_surf) * shell_noise
+    surf = centers[blob] + u * (radii[blob] * shell_jitter)[:, None]
 
     free = rng.uniform(-5.0, 5.0, (n_free, 3))
     pts_in = np.concatenate([surf, free]).astype(np.float32)

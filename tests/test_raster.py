@@ -74,7 +74,7 @@ def raster_image_reference(pts, attrs, table, bounds, cam, cfg):
             K, A,
         )
     )
-    cell_s, key_s, starts, n_pairs = jax.jit(
+    cell_s, key_cell, starts, n_pairs = jax.jit(
         R.bin_pairs, static_argnames=("width", "height", "cfg")
     )(
         jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
@@ -84,6 +84,7 @@ def raster_image_reference(pts, attrs, table, bounds, cam, cfg):
         width=cam.width, height=cam.height, cfg=cfg,
     )
     assert int(n_pairs) <= cfg.max_pairs, "pair capacity overflow"
+    key_s = np.asarray(key_cell)[np.asarray(cell_s)]
     rows = rpacked[np.asarray(cell_s)]
     ds = 1.0 / np.tan(cam.fov * 0.5)
     tiles, forced = R.composite_reference(
