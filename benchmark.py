@@ -48,56 +48,109 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
     c2w = test_data_handler.c2ws
     width, height = test_data_handler.img_wh
     fy = test_data_handler.fy
+    fov = float(2 * np.arctan(height / (2 * fy)))
+    engine = getattr(args, "engine", "raster")
 
-    cfg = TraceConfig(
-        sh_degree=model.sh_degree, num_quantiles=0, weight_threshold=0.05,
-        max_intersections=1024, chunk_size=1 << 17,
-    )
-
-    @jax.jit
-    def render(rays, start):
-        out = trace_mod._trace_forward_impl(
-            cfg, points, attrs, nbr_idx, rays, start,
-            jnp.zeros((rays.shape[0], 0), jnp.float32),
-        )
-        return pack_rgba8(out.rgba[:, :3].astype(jnp.float32))
-
-    frames = []
-    positions = []
+    cams = []
     for i in range(c2w.shape[0]):
         if i % 8 == 0:
-            position = np.asarray(c2w[i, :3, 3])
-            fov = float(2 * np.arctan(height / (2 * fy)))
-            cam = Camera(
-                position=position,
+            cams.append(Camera(
+                position=np.asarray(c2w[i, :3, 3]),
                 forward=np.asarray(c2w[i, :3, 2]),
                 right=np.asarray(c2w[i, :3, 0]),
                 up=-np.asarray(c2w[i, :3, 1]),
                 fov=fov, width=width, height=height,
-            )
-            positions.append(position)
-            rays = np.asarray(cast_rays(cam)).reshape(-1, 6)
-            frames.append(jax.device_put(jnp.asarray(rays)))
+            ))
+    n_frames = len(cams)
 
-    start_points = np.asarray(
-        model.get_starting_point(jnp.asarray(np.stack(positions)))
-    )
-    starts = [
-        jax.device_put(
-            jnp.full((frames[i].shape[0],), int(start_points[i]), jnp.int32)
+    if engine == "raster":
+        # tile rasterizer (ops/raster.py): re-triangulate for cell bounds,
+        # keep points/attrs in the triangulation's spatial order
+        from radfoam_tpu.delaunay import Triangulation
+        from radfoam_tpu.ops import raster as R
+        from radfoam_tpu.ops.adjacency import csr_to_padded
+
+        n_active = int(model.n_points)
+        pts_np = np.asarray(points, np.float32)[:n_active]
+        tri = Triangulation(pts_np)
+        perm = tri.permutation()
+        pts_np = pts_np[perm]
+        attrs_np = np.asarray(attrs)[:n_active][perm]
+        table = csr_to_padded(
+            tri.point_adjacency(), tri.point_adjacency_offsets()
         )
-        for i in range(len(frames))
-    ]
-    n_frames = len(frames)
+        bb_min, bb_max, _ = tri.cell_bounds()
+
+        cap = int(min(1 << 22, max(1 << 16, 64 * pts_np.shape[0])))
+        rcfg = R.RasterConfig(
+            sh_degree=model.sh_degree, weight_threshold=0.05,
+            alpha_cull=1e-3, max_pairs=cap,
+        )
+        rpacked = jax.jit(R.pack_raster_table)(
+            jnp.asarray(pts_np), jnp.asarray(attrs_np), jnp.asarray(table)
+        )
+        bbmin_d = jnp.asarray(bb_min)
+        bbmax_d = jnp.asarray(bb_max)
+        dens_d = jnp.asarray(attrs_np[:, -1].astype(np.float32))
+
+        raster_fn = jax.jit(lambda pos, fwd, rgt, up: R.render_frame(
+            rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+            jnp.float32(fov), width=width, height=height, cfg=rcfg,
+        ))
+        frames = [
+            tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
+                  (c.position, c.forward, c.right, c.up))
+            for c in cams
+        ]
+
+        img, n_pairs, _ = raster_fn(*frames[0])
+        jax.block_until_ready(img)
+        if int(n_pairs) > rcfg.max_pairs:
+            print(f"warning: pair overflow ({int(n_pairs)} > "
+                  f"{rcfg.max_pairs}); image is incomplete — rerun with a "
+                  "larger cap")
+        render = lambda i: raster_fn(*frames[i])[0]
+    else:
+        cfg = TraceConfig(
+            sh_degree=model.sh_degree, num_quantiles=0,
+            weight_threshold=0.05, max_intersections=1024,
+            chunk_size=1 << 17,
+        )
+
+        @jax.jit
+        def walk_fn(rays, start):
+            out = trace_mod._trace_forward_impl(
+                cfg, points, attrs, nbr_idx, rays, start,
+                jnp.zeros((rays.shape[0], 0), jnp.float32),
+            )
+            return pack_rgba8(out.rgba[:, :3].astype(jnp.float32))
+
+        positions = np.stack([c.position for c in cams])
+        start_points = np.asarray(
+            model.get_starting_point(jnp.asarray(positions))
+        )
+        frames = [
+            jax.device_put(
+                jnp.asarray(np.asarray(cast_rays(c)).reshape(-1, 6))
+            )
+            for c in cams
+        ]
+        starts = [
+            jax.device_put(jnp.full(
+                (frames[i].shape[0],), int(start_points[i]), jnp.int32
+            ))
+            for i in range(n_frames)
+        ]
+        render = lambda i: walk_fn(frames[i], starts[i])
 
     # warmup
     for i in range(n_frames):
-        render(frames[i], starts[i]).block_until_ready()
+        jax.block_until_ready(render(i))
 
     n_reps = 5
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        outs = [render(frames[i], starts[i]) for i in range(n_frames)]
+        outs = [render(i) for i in range(n_frames)]
         jax.block_until_ready(outs)
     t1 = time.perf_counter()
 
@@ -117,6 +170,10 @@ def main():
 
     parser.add_argument(
         "-c", "--config", is_config_file=True, help="Path to config file"
+    )
+    parser.add_argument(
+        "--engine", default="raster", choices=["raster", "walk"],
+        help="render engine: tile rasterizer (default) or adjacency walk",
     )
 
     args = parser.parse_args()

@@ -115,3 +115,108 @@ def make_sharded_train_step(cfg: StepConfig, mesh, axis="data"):
         return params, opt_state, {"loss": loss, "color_loss": color_loss}
 
     return step
+
+
+def make_sharded_error_map(cfg: StepConfig, mesh, axis="data"):
+    """Densification error collection sharded over train views.
+
+    ``collect_error_map`` renders every train view to accumulate per-point
+    position-gradient norms + max contribution (reference scene.py:497-548)
+    and dominates densification epochs; views are embarrassingly parallel,
+    so each device scans its view shard and the results meet in ONE
+    psum/pmax pair (VERDICT r1 task 7).
+
+    Returns ``fn(params, nbr_idx, rays, rgbs, starts, valid) ->
+    (err (C,), contrib (C,))`` where rays is (V, R, 6) with V a multiple of
+    the mesh size and ``valid`` masks padding views.
+    """
+    tcfg = cfg.trace_config._replace(
+        num_quantiles=0, return_contribution=True
+    )
+
+    def local_accum(params, nbr_idx, rays, rgbs, starts, valid):
+        attrs = activate_attributes(params, cfg.activation_scale,
+                                    cfg.attr_dtype)
+        C = params["primal_points"].shape[0]
+
+        def body(carry, xs):
+            err, contrib = carry
+            r, c, s, v = xs
+            starts_r = jnp.full((r.shape[0],), s, jnp.int32)
+
+            def loss_fn(points):
+                out = trace(points, attrs, nbr_idx, r, starts_r, None,
+                            config=tcfg)
+                rgba = out.rgba.astype(jnp.float32)
+                opacity = rgba[:, 3:]
+                if cfg.white_background:
+                    rgb = rgba[:, :3] + (1.0 - opacity)
+                else:
+                    rgb = rgba[:, :3]
+                loss = jnp.abs(c - rgb).mean(axis=-1).sum()
+                return loss, out.contribution
+
+            (_, contribution), pg = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params["primal_points"])
+            vf = v.astype(jnp.float32)
+            err = err + vf * jnp.linalg.norm(pg, axis=-1)
+            contrib = jnp.maximum(contrib, jnp.where(v, contribution, 0.0))
+            return (err, contrib), None
+
+        init = (jnp.zeros((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
+        (err, contrib), _ = jax.lax.scan(
+            body, init, (rays, rgbs, starts, valid)
+        )
+        err = jax.lax.psum(err, axis)
+        contrib = jax.lax.pmax(contrib, axis)
+        return err, contrib
+
+    sharded = jax.shard_map(
+        local_accum,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def collect_error_map_sharded(model, step_cfg, data_handler, mesh,
+                              downsample=2, rng=None, axis="data"):
+    """Drop-in replacement for train.loop.collect_error_map that spreads
+    the views over the mesh. Wall time ~ 1/n_devices of the serial epoch."""
+    import numpy as np
+    from radfoam_tpu.train.loop import camera_start_points
+
+    rng = rng or np.random.default_rng(0)
+    n_dev = mesh.devices.size
+    rays = data_handler.rays
+    rgbs = data_handler.rgbs
+    starts = np.asarray(camera_start_points(model, data_handler))
+
+    V, H, W = rays.shape[:3]
+    h2, w2 = H // downsample, W // downsample
+    sub_r, sub_c = [], []
+    for i in range(V):
+        d0, d1 = rng.integers(0, downsample, size=2)
+        sub_r.append(rays[i, d0 : d0 + h2 * downsample : downsample,
+                          d1 : d1 + w2 * downsample : downsample]
+                     .reshape(-1, 6))
+        sub_c.append(rgbs[i, d0 : d0 + h2 * downsample : downsample,
+                          d1 : d1 + w2 * downsample : downsample]
+                     .reshape(-1, 3))
+    pad = (-V) % n_dev
+    for _ in range(pad):
+        sub_r.append(sub_r[0])
+        sub_c.append(sub_c[0])
+    valid = np.concatenate([np.ones(V, bool), np.zeros(pad, bool)])
+    starts = np.concatenate([starts, np.zeros(pad, starts.dtype)])
+
+    fn = make_sharded_error_map(step_cfg, mesh, axis)
+    err, contrib = fn(
+        model.params, model.nbr_idx,
+        jnp.asarray(np.stack(sub_r)), jnp.asarray(np.stack(sub_c)),
+        jnp.asarray(starts.astype(np.int32)), jnp.asarray(valid),
+    )
+    return np.asarray(err), np.asarray(contrib)

@@ -297,10 +297,25 @@ def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
                 iters_since_densification == next_densification_after
                 and model.n_points < 0.9 * model.num_final_points
             ):
-                point_error, point_contribution = collect_error_map(
-                    model, step_cfg, train_data_handler,
-                    rng=densify_rng,
-                )
+                if jax.device_count() > 1:
+                    # spread the per-view renders over the mesh: the
+                    # densification epoch is embarrassingly parallel in
+                    # views (VERDICT r1 task 7)
+                    from radfoam_tpu.parallel.train import (
+                        collect_error_map_sharded, make_mesh,
+                    )
+
+                    point_error, point_contribution = (
+                        collect_error_map_sharded(
+                            model, step_cfg, train_data_handler,
+                            make_mesh(), rng=densify_rng,
+                        )
+                    )
+                else:
+                    point_error, point_contribution = collect_error_map(
+                        model, step_cfg, train_data_handler,
+                        rng=densify_rng,
+                    )
                 model.prune_and_densify(
                     point_error, point_contribution,
                     pipeline_args.densify_factor,

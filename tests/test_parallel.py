@@ -113,3 +113,79 @@ def test_sharded_matches_single_device(setup):
         np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12
     )
     assert cos > 0.9
+
+
+def test_sharded_error_map_matches_serial():
+    """collect_error_map over the 8-device mesh == the serial loop
+    (VERDICT r1 task 7)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from radfoam_tpu.parallel.train import (
+        make_mesh, make_sharded_error_map,
+    )
+    from radfoam_tpu.train.step import StepConfig, make_error_map_step
+    from radfoam_tpu.ops.trace import TraceConfig
+    from radfoam_tpu.data.synthetic import make_ground_truth_scene
+
+    sh = 1
+    pts, _, table, _ = make_ground_truth_scene(n_points=300, sh_degree=sh)
+    rng = np.random.default_rng(0)
+    D = (sh + 1) ** 2
+    # the test compares two execution strategies of the SAME math, so the
+    # raw parameters just need to be valid, not meaningful
+    params = {
+        "primal_points": jnp.asarray(pts),
+        "att_dc": jnp.asarray(rng.standard_normal((300, 3)) * 0.3,
+                              jnp.float32),
+        "att_sh": jnp.asarray(
+            rng.standard_normal((300, 3 * (D - 1))) * 0.1, jnp.float32
+        ),
+        "density": jnp.asarray(rng.standard_normal((300, 1)), jnp.float32),
+    }
+    cfg = StepConfig(
+        trace_config=TraceConfig(sh_degree=sh, num_quantiles=0),
+        activation_scale=1.0, attr_dtype=jnp.float32,
+        white_background=True,
+    )
+    V, Rr = 5, 64
+    rays = np.concatenate(
+        [
+            rng.uniform(-0.5, 0.5, (V, Rr, 3)),
+            rng.standard_normal((V, Rr, 3)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (V, Rr, 3)).astype(np.float32)
+    starts = rng.integers(0, 300, V).astype(np.int32)
+
+    # serial
+    serial = make_error_map_step(cfg)
+    err_s = jnp.zeros((300,), jnp.float32)
+    con_s = jnp.zeros((300,), jnp.float32)
+    for i in range(V):
+        err_s, con_s = serial(
+            params, jnp.asarray(table), jnp.asarray(rays[i]),
+            jnp.asarray(rgbs[i]), int(starts[i]), err_s, con_s,
+        )
+
+    # sharded over 8 virtual devices (V=5 padded to 8)
+    mesh = make_mesh()
+    fn = make_sharded_error_map(cfg, mesh)
+    pad = (-V) % mesh.devices.size
+    rays_p = np.concatenate([rays, np.repeat(rays[:1], pad, 0)])
+    rgbs_p = np.concatenate([rgbs, np.repeat(rgbs[:1], pad, 0)])
+    starts_p = np.concatenate([starts, np.zeros(pad, np.int32)])
+    valid = np.concatenate([np.ones(V, bool), np.zeros(pad, bool)])
+    err_p, con_p = fn(
+        params, jnp.asarray(table), jnp.asarray(rays_p),
+        jnp.asarray(rgbs_p), jnp.asarray(starts_p), jnp.asarray(valid),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(err_p), np.asarray(err_s), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(con_p), np.asarray(con_s), rtol=1e-4, atol=1e-6
+    )
