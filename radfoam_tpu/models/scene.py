@@ -89,6 +89,9 @@ class RadFoamScene:
         self.aabb_tree = None
         self.optimizer_state = None
         self._last_built = None
+        self._tri_future = None
+        self._tri_snapshot = None
+        self._tri_executor = None
         self._adam = optax.scale_by_adam(eps=1e-15)
 
         if points is not None:
@@ -252,6 +255,101 @@ class RadFoamScene:
         self._last_built = np.asarray(
             self.params["primal_points"][: self.n_points]
         )
+
+    # -- asynchronous triangulation (VERDICT r1 task 4) --------------------
+    #
+    # The host-side rebuild/repair runs on a worker thread while the device
+    # keeps stepping on the previous adjacency; the new table lands a few
+    # steps stale, which the reference's own 1..100-step rebuild cadence
+    # already tolerates. ctypes releases the GIL during the native build,
+    # so this overlaps even on a single host core (the main thread is
+    # blocked in device RPC most of the time anyway).
+
+    @property
+    def triangulation_in_flight(self):
+        return self._tri_future is not None
+
+    def update_triangulation_async(self):
+        """Start rebuilding from a snapshot of the current points.
+
+        Returns False if a build is already in flight or the points have
+        not moved since the last build (freeze-phase skip). The retry
+        ladder jitters the snapshot on failures but never writes the jitter
+        back (the live points have moved on); persistent failures surface
+        from poll_triangulation().
+        """
+        if self._tri_future is not None:
+            return False
+        snapshot = np.array(
+            self.params["primal_points"][: self.n_points], copy=True
+        )
+        if not np.isfinite(snapshot).all():
+            raise RuntimeError("NaN in points")
+        if (
+            self._last_built is not None
+            and self._last_built.shape == snapshot.shape
+            and np.array_equal(self._last_built, snapshot)
+        ):
+            return False
+
+        if self._tri_executor is None:
+            import concurrent.futures
+
+            self._tri_executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="triangulation"
+            )
+
+        def work():
+            perturbation = 1e-6
+            del_points = snapshot
+            failures = 0
+            incremental = True
+            while True:
+                if failures > 25:
+                    raise RuntimeError(
+                        "aborted triangulation after 25 attempts"
+                    )
+                try:
+                    needs_permute = self.triangulation.rebuild(
+                        del_points, incremental=incremental
+                    )
+                    return needs_permute, del_points
+                except TriangulationFailedError as e:
+                    print("caught: ", e)
+                    perturbation *= 2
+                    failures += 1
+                    incremental = False
+                    del_points = (
+                        snapshot
+                        + perturbation
+                        * self.rng.standard_normal(snapshot.shape)
+                        .astype(np.float32)
+                    )
+
+        self._tri_snapshot = snapshot
+        self._tri_future = self._tri_executor.submit(work)
+        return True
+
+    def poll_triangulation(self, wait=False):
+        """Apply a finished async rebuild. Returns True if a new adjacency
+        was installed this call."""
+        fut = self._tri_future
+        if fut is None:
+            return False
+        if not wait and not fut.done():
+            return False
+        needs_permute, built_points = fut.result()
+        self._tri_future = None
+        if needs_permute:
+            self.permute_points(self.triangulation.permutation())
+        self._refresh_derived()
+        self._last_built = built_points
+        return True
+
+    def wait_triangulation(self):
+        """Drain any in-flight async rebuild (needed before densification
+        or any synchronous triangulation use)."""
+        return self.poll_triangulation(wait=True)
 
     def _refresh_derived(self):
         """Rebuild the padded neighbor table + NN handle from the current

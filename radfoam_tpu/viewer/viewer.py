@@ -49,6 +49,8 @@ class ViewerOptions:
     weight_threshold: float = 0.05
     depth_quantile: float = 0.5
     max_depth: float = 10.0
+    max_intersections: int = 1024
+    camera_model: str = "pinhole"  # or "fisheye"
     port: int = 8090
 
 
@@ -118,13 +120,16 @@ class Viewer:
         from radfoam_tpu.ops import trace as trace_mod
         from radfoam_tpu.ops.nn import build_aabb_tree, nn
 
+        from radfoam_tpu.ops.camera import FISHEYE
+
         o = self.options
         right = _unit(np.cross(self.camera_forward, self.camera_up))
         up = _unit(np.cross(right, self.camera_forward))
         cam = Camera(
             position=self.camera_pos, forward=self.camera_forward,
             right=right, up=up, fov=np.deg2rad(o.fov),
-            width=o.width, height=o.height, model=PINHOLE,
+            width=o.width, height=o.height,
+            model=FISHEYE if o.camera_model == "fisheye" else PINHOLE,
         )
         rays = cast_rays(cam).reshape(-1, 6)
         tree = build_aabb_tree(points)
@@ -134,7 +139,8 @@ class Viewer:
         cfg = TraceConfig(
             sh_degree=self.sh_degree, num_quantiles=nq,
             weight_threshold=float(o.weight_threshold),
-            max_intersections=1024, chunk_size=1 << 17,
+            max_intersections=int(o.max_intersections),
+            chunk_size=1 << 17,
         )
         quant = (
             jnp.full((rays.shape[0], 1), float(o.depth_quantile),
@@ -216,6 +222,12 @@ _PAGE = """<!doctype html><html><head><title>radfoam-tpu viewer</title>
 <select id="cmap" onchange="cmd('cmap&v='+this.value)">
 <option>viridis</option><option>inferno</option><option>turbo</option>
 <option>gray</option></select>
+<select id="cmodel" onchange="cmd('cmodel&v='+this.value)">
+<option>pinhole</option><option>fisheye</option></select>
+fov<input id="fov" type="range" min="20" max="180" value="60"
+ oninput="cmd('fov&v='+this.value)" style="width:90px"/>
+max-int<input id="maxi" type="number" min="16" max="4096" value="1024"
+ onchange="cmd('maxi&v='+this.value)" style="width:64px"/>
 <span id="st"></span>
 </div>
 <img id="f" width="960" height="540"/>
@@ -313,6 +325,18 @@ def serve_viewer(viewer: Viewer, port=None):
                     v = q.get("v", ["viridis"])[0]
                     if v in COLORMAPS:
                         viewer.color_map = v
+                elif c == "cmodel":
+                    v = q.get("v", ["pinhole"])[0]
+                    if v in ("pinhole", "fisheye"):
+                        viewer.options.camera_model = v
+                elif c == "fov":
+                    viewer.options.fov = min(
+                        max(float(q.get("v", [60])[0]), 5.0), 180.0
+                    )
+                elif c == "maxi":
+                    viewer.options.max_intersections = min(
+                        max(int(float(q.get("v", [1024])[0])), 16), 4096
+                    )
                 elif c == "move":
                     s = 0.1
                     viewer.move(
