@@ -1,10 +1,14 @@
 """Driver benchmark: pure-inference render FPS on the real TPU chip.
 
-Mirrors the reference benchmark protocol (benchmark.py:95-139): fp16
-attributes, weight_threshold=0.05, max_intersections=1024, warmup pass then
-5 timed repetitions, FPS = n_reps * n_frames / total_seconds. The scene is
-a deterministic synthetic foam (no external datasets in the image) at the
-reference's init_points scale, rendered at 1080p.
+Round-2 protocol: the reference benchmarks TRAINED checkpoints
+(benchmark.py:95-139), so the scene here is a trained-like 2M-point foam
+(surface shells at high density inside carved near-empty space —
+utils/synthetic.trained_like_scene) rendered at 1080p with the tile
+rasterizer, fp16-equivalent settings, weight_threshold=0.05, 1 warmup pass
++ 5 timed repetitions over 4 orbit poses.
+
+The scene (triangulation + bounds) takes minutes to build on the single
+host core, so it is cached on disk after the first run.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the 30 FPS "real-time at 1080p" north star from
@@ -12,113 +16,99 @@ BASELINE.md (the reference repo publishes no numbers).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+N_POINTS = 2_097_152
+SH = 3
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_scene_2m.npz")
 
-def build_scene(n_points=131_072, sh_degree=3, seed=0):
-    from radfoam_tpu.delaunay import Triangulation
-    from radfoam_tpu.ops.adjacency import csr_to_padded
 
-    rng = np.random.default_rng(seed)
-    # clustered foam: a dense core plus shells, similar occupancy profile
-    # to a trained indoor scene
-    core = rng.standard_normal((n_points // 2, 3)) * 1.0
-    shell = rng.standard_normal((n_points // 2, 3)) * 4.0
-    pts = np.concatenate([core, shell]).astype(np.float32)
+def build_scene():
+    if os.path.exists(CACHE):
+        z = np.load(CACHE)
+        return (z["pts"], z["attrs"], z["table"], z["bb_min"], z["bb_max"])
 
-    tri = Triangulation(pts)
-    pts = pts[tri.permutation()]
-    table = csr_to_padded(
-        tri.point_adjacency(), tri.point_adjacency_offsets()
+    from radfoam_tpu.utils.synthetic import trained_like_scene
+
+    pts, attrs, table, tri = trained_like_scene(
+        n_points=N_POINTS, sh_degree=SH, seed=0, n_blobs=64,
+        return_tri=True,
     )
-
-    D = (sh_degree + 1) ** 2
-    attrs = (rng.standard_normal((pts.shape[0], 1 + 3 * D)) * 0.2).astype(
-        np.float32
-    )
-    r = np.linalg.norm(pts, axis=1)
-    attrs[:, -1] = np.where(r < 1.5, 2.5, 0.02)
-    return pts, attrs, table
+    bb_min, bb_max, _ = tri.cell_bounds()
+    np.savez(CACHE, pts=pts, attrs=attrs, table=table,
+             bb_min=bb_min, bb_max=bb_max)
+    return pts, attrs, table, bb_min, bb_max
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from radfoam_tpu.ops.camera import look_at, cast_rays_device
-    from radfoam_tpu.ops.trace import (
-        TraceConfig,
-        pack_rgba8,
-        pack_layout,
-        pack_trace_table,
-        _trace_forward_packed,
-    )
+    from radfoam_tpu.ops.camera import look_at
+    from radfoam_tpu.ops import raster as R
 
-    sh_degree = 3
     width, height = 1920, 1080
     n_frames = 4
     n_reps = 5
 
-    pts, attrs, table = build_scene(sh_degree=sh_degree)
-    points = jnp.asarray(pts)
-    attrs_dev = jnp.asarray(attrs, dtype=jnp.float16)
-    nbr_idx = jnp.asarray(table)
+    t0 = time.time()
+    pts, attrs, table, bb_min, bb_max = build_scene()
+    print(f"scene ready in {time.time()-t0:.0f}s (K={table.shape[1]})",
+          file=sys.stderr)
 
-    # packed row table hoisted out of the render loop, the analog of the
-    # reference benchmark's precomputed adjacent_offsets (benchmark.py:41-54)
-    lay = pack_layout(nbr_idx, attrs_dev)
-    packed = jax.jit(pack_trace_table)(points, attrs_dev, nbr_idx)
-    packed.block_until_ready()
-    n_points = pts.shape[0]
-
-    cfg = TraceConfig(
-        sh_degree=sh_degree, num_quantiles=0, weight_threshold=0.05,
-        max_intersections=1024, chunk_size=width * height,
+    cfg = R.RasterConfig(
+        sh_degree=SH, weight_threshold=0.05, tile=16,
+        max_pairs=1 << 22, alpha_cull=1e-3,
     )
+    rpacked = jax.jit(R.pack_raster_table)(
+        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+    )
+    rpacked.block_until_ready()
+    bbmin_d = jnp.asarray(bb_min)
+    bbmax_d = jnp.asarray(bb_max)
+    dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
 
-    @jax.jit
-    def render(pos, fwd, rgt, up, start):
-        # rays materialize on device (no 48MB host->device ray buffers)
-        rays = cast_rays_device(
-            pos, fwd, rgt, up, jnp.float32(2 * np.arctan(1 / 1.6)),
-            width, height,
-        )
-        out = _trace_forward_packed(
-            cfg, lay, packed, n_points, rays,
-            jnp.full((rays.shape[0],), start, jnp.int32),
-            jnp.zeros((rays.shape[0], 0), jnp.float32),
-        )
-        return pack_rgba8(out.rgba[:, :3].astype(jnp.float32))
+    render = jax.jit(lambda pos, fwd, rgt, up: R.render_frame(
+        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+        jnp.float32(1.0), width=width, height=height, cfg=cfg,
+    ))
 
-    # cameras: orbit at radius 6 looking at the core (every-8th-pose analog)
     frames = []
     for v in range(n_frames):
         ang = 2 * np.pi * v / n_frames
-        eye = np.array([6 * np.cos(ang), 6 * np.sin(ang), 2.0])
+        eye = np.array([4.5 * np.cos(ang), 4.5 * np.sin(ang), 1.5])
         cam = look_at(eye, [0, 0, 0], [0, 0, 1], fov=1.0,
                       width=width, height=height)
-        start = int(np.argmin(np.sum((pts - eye) ** 2, axis=1)))
         frames.append(tuple(
             jnp.asarray(np.asarray(x, np.float32)) for x in
             (cam.position, cam.forward, cam.right, cam.up)
-        ) + (start,))
+        ))
 
-    # warmup (compile + cache)
+    # warmup (compile + cache) and capacity check
+    img, n_pairs, forced = render(*frames[0])
+    jax.block_until_ready(img)
+    print(f"n_pairs={int(n_pairs)} (cap {cfg.max_pairs}) "
+          f"forced={float(forced)}", file=sys.stderr)
+    if int(n_pairs) > cfg.max_pairs:
+        print("warning: pair-capacity overflow, image incomplete",
+              file=sys.stderr)
     for f in frames:
-        render(*f).block_until_ready()
+        jax.block_until_ready(render(*f))
 
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        imgs = [render(*f) for f in frames]
+        imgs = [render(*f)[0] for f in frames]
         jax.block_until_ready(imgs)
     t1 = time.perf_counter()
 
     fps = n_reps * n_frames / (t1 - t0)
     print(json.dumps({
-        "metric": "render_fps_1080p_131k_points",
+        "metric": "render_fps_1080p_2M_trained_raster",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),

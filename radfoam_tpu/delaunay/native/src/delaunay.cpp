@@ -26,6 +26,8 @@
 #include <cstring>
 #include <unordered_map>
 #include <vector>
+#include <chrono>
+#include <cstdio>
 
 #include "predicates.h"
 
@@ -499,14 +501,13 @@ struct RepairResult {
     int64_t n_local;  // local DT vertex count (diagnostics)
 };
 
-static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
-    RepairResult rr{OK, false, 0, 0};
-    std::vector<uint8_t> fail;
-    rr.n_bad = mark_failures(m, fail);
-    if (rr.n_bad == 0) return rr;
+static RepairResult repair_attempt(Mesh &m, const std::vector<uint8_t> &fail,
+                                   int64_t n_bad,
+                                   std::vector<int32_t> *w_out) {
+    RepairResult rr{OK, false, n_bad, 0};
 
     std::vector<int32_t> carve;
-    carve.reserve(rr.n_bad);
+    carve.reserve(n_bad);
     for (int64_t t = 0; t < (int64_t)m.tets.size(); ++t)
         if (fail[t]) carve.push_back((int32_t)t);
     // damage too large: a full rebuild is cheaper / safer
@@ -742,6 +743,54 @@ static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
     return rr;
 }
 
+// grow the damage set: additionally mark every live tet touching a vertex
+// of the current damage-set W (one O(T) pass; only runs on repair retry)
+static int64_t grow_failures(const Mesh &m, const std::vector<int32_t> &W,
+                             std::vector<uint8_t> &fail) {
+    std::vector<uint8_t> inW(m.n_real + 4, 0);
+    for (int32_t v : W) inW[v] = 1;
+    int64_t added = 0;
+    for (int64_t t = 0; t < (int64_t)m.tets.size(); ++t) {
+        const Tet &tet = m.tets[t];
+        if (!tet.alive || fail[t]) continue;
+        if (inW[tet.v[0]] || inW[tet.v[1]] || inW[tet.v[2]] ||
+            inW[tet.v[3]]) {
+            fail[t] = 1;
+            ++added;
+        }
+    }
+    return added;
+}
+
+static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
+    static const bool kTiming = getenv("FOAM_TIMING") != nullptr;
+    auto tq0 = std::chrono::steady_clock::now();
+    std::vector<uint8_t> fail;
+    int64_t n_bad = mark_failures(m, fail);
+    if (kTiming) {
+        auto tq1 = std::chrono::steady_clock::now();
+        fprintf(stderr, "[foam] scan=%.1fms bad=%lld\n",
+                std::chrono::duration<double, std::milli>(tq1 - tq0).count(),
+                (long long)n_bad);
+    }
+    if (n_bad == 0) return RepairResult{OK, false, 0, 0};
+
+    // the minimal damage set sometimes under-covers (the new DT connects
+    // vertices just outside it); grow by one vertex-ring and retry before
+    // giving up to a full rebuild
+    for (int round = 0; round < 3; ++round) {
+        RepairResult rr = repair_attempt(m, fail, n_bad, w_out);
+        if (rr.status == OK || rr.status == DEGENERATE) return rr;
+        if (w_out == nullptr || w_out->empty()) return rr;
+        n_bad += grow_failures(m, *w_out, fail);
+        if (kTiming)
+            fprintf(stderr, "[foam] grow round %d -> %lld tets\n",
+                    round + 1, (long long)n_bad);
+    }
+    RepairResult rr{INTERNAL, false, n_bad, 0};
+    return rr;
+}
+
 // recompute the adjacency rows of just the vertices in the damage set and
 // splice them into the cached CSR (rows of untouched vertices cannot
 // change: an edge (u, w) exists iff some tet contains both, and only tets
@@ -877,8 +926,11 @@ int foam_update(FoamTriangulation *h, const float *points, int64_t n,
     for (int64_t i = 0; i < n; ++i)
         for (int d = 0; d < 3; ++d)
             h->mesh.pts[3 * i + d] = (double)points[3 * i + d];
+    static const bool kTiming = getenv("FOAM_TIMING") != nullptr;
+    auto tp0 = std::chrono::steady_clock::now();
     std::vector<int32_t> W;
     foam::RepairResult rr = foam::try_repair(h->mesh, &W);
+    auto tp1 = std::chrono::steady_clock::now();
     if (stats_out) {
         stats_out[0] = rr.n_bad;
         stats_out[1] = rr.n_local;
@@ -886,11 +938,20 @@ int foam_update(FoamTriangulation *h, const float *points, int64_t n,
     if (rr.status != foam::OK) return 1;
     if (!rr.changed) return 0;
     foam::collect_tets(h->mesh, h->live_tets);
+    auto tp2 = std::chrono::steady_clock::now();
     // adjacency rows can only change for the damage-set vertices (an edge
     // (u, w) exists iff some tet contains both; only tets incident to W
     // were replaced), so patch just those rows into the cached CSR
     if (foam::adjacency_patch(h->mesh, W, h->adj, h->offsets) != foam::OK)
         return 1;
+    if (kTiming) {
+        auto tp3 = std::chrono::steady_clock::now();
+        auto ms = [](auto a, auto b) {
+            return std::chrono::duration<double, std::milli>(b - a).count();
+        };
+        fprintf(stderr, "[foam] repair=%.1fms collect=%.1fms patch=%.1fms\n",
+                ms(tp0, tp1), ms(tp1, tp2), ms(tp2, tp3));
+    }
     return 3;
 }
 

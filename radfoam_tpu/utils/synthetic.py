@@ -46,7 +46,8 @@ def foam_scene(n_points=131_072, sh_degree=3, seed=0):
 
 
 def trained_like_scene(n_points=2_097_152, sh_degree=3, seed=0,
-                       n_blobs=24, surface_frac=0.25, shell_noise=0.05):
+                       n_blobs=24, surface_frac=0.25, shell_noise=0.05,
+                       return_tri=False):
     """Trained-checkpoint-like foam at a given point count.
 
     ``surface_frac`` of the points sit on thin shells of random blobs and
@@ -92,4 +93,6 @@ def trained_like_scene(n_points=2_097_152, sh_degree=3, seed=0,
     attrs[:, : 3 * D] += hi
     sigma = np.where(flags, rng.uniform(8.0, 40.0, n), 1e-4)
     attrs[:, -1] = sigma.astype(np.float32)
+    if return_tri:
+        return pts, attrs, table, tri
     return pts, attrs, table

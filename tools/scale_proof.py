@@ -23,7 +23,6 @@ SH = 3
 import jax
 import jax.numpy as jnp
 
-from radfoam_tpu.utils.synthetic import trained_like_scene
 from radfoam_tpu.delaunay import Triangulation
 from radfoam_tpu.ops.adjacency import csr_to_padded
 from radfoam_tpu.ops.camera import look_at, cast_rays_device
@@ -33,15 +32,17 @@ from radfoam_tpu.ops.trace import TraceConfig, trace, pack_rgba8
 out = {"n_points": N_POINTS}
 print("devices:", jax.devices(), flush=True)
 
+# scene via bench.py's on-disk cache (generation takes many minutes on
+# this host; the triangulation/bounds timings below re-measure fresh)
 t0 = time.time()
-pts, attrs, table = trained_like_scene(
-    n_points=N_POINTS, sh_degree=SH, seed=0, n_blobs=64
-)
-out["scene_build_s"] = round(time.time() - t0, 1)
-out["K"] = int(table.shape[1])
-print(f"scene+first-tri: {out['scene_build_s']}s K={out['K']}", flush=True)
+import bench
 
-# timed full (warm-order) triangulation
+pts, attrs, table, bb_min, bb_max = bench.build_scene()
+out["scene_ready_s"] = round(time.time() - t0, 1)
+out["K"] = int(table.shape[1])
+print(f"scene ready: {out['scene_ready_s']}s K={out['K']}", flush=True)
+
+# timed full (warm-order) triangulation + bounds
 t0 = time.time()
 tri = Triangulation(pts)
 out["full_tri_s"] = round(time.time() - t0, 1)
@@ -49,7 +50,7 @@ print(f"full triangulation: {out['full_tri_s']}s tets={tri.tets().shape[0]}",
       flush=True)
 
 t0 = time.time()
-bb_min, bb_max, hull = tri.cell_bounds()
+bb_min2, bb_max2, hull = tri.cell_bounds()
 out["cell_bounds_s"] = round(time.time() - t0, 1)
 print(f"cell_bounds: {out['cell_bounds_s']}s hull={int(hull.sum())}",
       flush=True)
