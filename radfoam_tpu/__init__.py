@@ -20,6 +20,23 @@ Key exports:
     (reference src/delaunay/triangulation_ops.cu)
 """
 
+import os as _os
+
+# Honor an explicit JAX_PLATFORMS environment choice even when an ambient
+# sitecustomize pre-forces another platform list (e.g. a TPU-tunnel
+# backend): subprocess CLI runs with JAX_PLATFORMS=cpu must actually run on
+# CPU — both for determinism and because only one process may own the TPU
+# tunnel at a time.
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms:
+    try:
+        import jax as _jax
+
+        if str(_jax.config.jax_platforms or "") != _env_platforms:
+            _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+
 from radfoam_tpu.delaunay import Triangulation, TriangulationFailedError
 from radfoam_tpu.ops.nn import build_aabb_tree, nn
 from radfoam_tpu.ops.adjacency import farthest_neighbor

@@ -122,17 +122,80 @@ class Pipeline:
             result["contribution"] = out.contribution[:, None]
         return result
 
+    def _raster_scene(self, points, attributes):
+        """Triangulation-derived raster inputs, cached by points content."""
+        import jax
+
+        from radfoam_tpu.delaunay import Triangulation
+        from radfoam_tpu.ops import raster as R
+
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        stride = max(1, pts.shape[0] // 64)
+        key = (pts.shape[0], hash(pts[::stride].tobytes()))
+        if getattr(self, "_raster_key", None) != key:
+            tri = Triangulation(pts)
+            perm = tri.permutation()
+            pts_s = pts[perm]
+            attrs_s = np.asarray(attributes)[perm]
+            table = csr_to_padded(
+                tri.point_adjacency(), tri.point_adjacency_offsets()
+            )
+            bb_min, bb_max, _ = tri.cell_bounds()
+            rpacked = jax.jit(R.pack_raster_table)(
+                jnp.asarray(pts_s), jnp.asarray(attrs_s), jnp.asarray(table)
+            )
+            self._raster_key = key
+            self._raster_val = (
+                rpacked, jnp.asarray(bb_min), jnp.asarray(bb_max),
+                jnp.asarray(attrs_s[:, -1].astype(np.float32)),
+            )
+        return self._raster_val
+
     def trace_benchmark(self, points, attributes, point_adjacency,
                         point_adjacency_offsets, adjacent_offsets, camera,
                         start_point, output=None, weight_threshold=0.05,
-                        max_intersections=1024):
+                        max_intersections=1024, engine="raster"):
         """Render one camera to packed RGBA8 (pipeline.cu:472-544).
 
         ``adjacent_offsets`` is accepted for signature parity but the fp16
-        offsets are derived on device. Returns (H, W) uint32.
+        offsets are derived on device. ``engine`` selects the tile
+        rasterizer (default; pinhole only) or the adjacency walk.
+        Returns (H, W) uint32.
         """
         if isinstance(camera, dict):
             camera = Camera.from_dict(camera)
+
+        if engine == "raster" and camera.model == 0:  # pinhole
+            from radfoam_tpu.ops import raster as R
+
+            rpacked, bbmin, bbmax, dens = self._raster_scene(
+                points, attributes
+            )
+            n = rpacked.shape[0]
+            cap = int(min(1 << 22, max(1 << 16, 64 * n)))
+            rcfg = R.RasterConfig(
+                sh_degree=self.sh_degree,
+                weight_threshold=weight_threshold,
+                alpha_cull=1e-3, max_pairs=cap,
+            )
+            img, n_pairs, _ = R.render_frame(
+                rpacked, bbmin, bbmax, dens,
+                jnp.asarray(camera.position, jnp.float32),
+                jnp.asarray(camera.forward, jnp.float32),
+                jnp.asarray(camera.right, jnp.float32),
+                jnp.asarray(camera.up, jnp.float32),
+                jnp.float32(camera.fov),
+                width=camera.width, height=camera.height, cfg=rcfg,
+            )
+            if int(n_pairs) > cap:
+                import warnings
+
+                warnings.warn(
+                    f"raster pair capacity overflow ({int(n_pairs)} > "
+                    f"{cap}); image incomplete"
+                )
+            # alpha defaults to 1 exactly like the walk path below
+            return pack_rgba8(img[..., :3].astype(jnp.float32))
         nbr_idx = self._padded(point_adjacency, point_adjacency_offsets)
         rays = cast_rays(camera).reshape(-1, 6)
         start = jnp.full((rays.shape[0],), int(start_point), jnp.int32)

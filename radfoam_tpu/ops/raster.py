@@ -655,6 +655,9 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # the Mosaic kernel only lowers for real TPUs; the CPU backend (unit
+    # tests, virtual meshes) runs the interpreter automatically
+    interpret = cfg.interpret or jax.default_backend() == "cpu"
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -662,7 +665,7 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
             jax.ShapeDtypeStruct((n_tiles, 4, P), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
         ],
-        interpret=cfg.interpret,
+        interpret=interpret,
     )(starts, lens, cam, rows)
 
 

@@ -138,3 +138,43 @@ def test_turntable_renderer(small_scene, tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_trace_benchmark_raster_engine_close_to_walk():
+    """Pipeline.trace_benchmark engine='raster' must render the same image
+    as the walk engine (up to hull-wedge and packing differences)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from radfoam_tpu.delaunay import Triangulation
+    from radfoam_tpu.ops.pipeline import create_pipeline
+    from radfoam_tpu.ops.camera import look_at
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tri = Triangulation(pts)
+    pts = pts[tri.permutation()]
+    D = 4
+    attrs = (rng.standard_normal((n, 1 + 3 * D)) * 0.25).astype(np.float32)
+    attrs[:, -1] = rng.uniform(4.0, 10.0, n)  # saturating
+
+    pipe = create_pipeline(1, jnp.float32)
+    cam = look_at((0.3, 0.2, 0.1), [0, 0, 0], [0, 0, 1], fov=1.1,
+                  width=48, height=32)
+    cam_dict = dict(position=cam.position, forward=cam.forward,
+                    right=cam.right, up=cam.up, fov=cam.fov,
+                    width=cam.width, height=cam.height)
+    start = int(np.argmin(np.sum((pts - cam.position) ** 2, axis=1)))
+    common = (pts, attrs, tri.point_adjacency(),
+              tri.point_adjacency_offsets(), None, cam_dict, start)
+    img_w = np.asarray(pipe.trace_benchmark(*common, engine="walk"))
+    img_r = np.asarray(pipe.trace_benchmark(*common, engine="raster"))
+
+    def unpack(u):
+        return np.stack([(u >> s) & 0xFF for s in (0, 8, 16)], -1) / 255.0
+
+    a, b = unpack(img_w), unpack(img_r)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 40.0, psnr
