@@ -73,10 +73,17 @@ def main():
     bbmax_d = jnp.asarray(bb_max)
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
 
-    render = jax.jit(lambda pos, fwd, rgt, up: R.render_frame(
-        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-        jnp.float32(1.0), width=width, height=height, cfg=cfg,
-    ))
+    # pass the big arrays as jit ARGS (a closure would capture them as
+    # multi-GB compile-time constants)
+    def _render(rp, b0, b1, dd, pos, fwd, rgt, up):
+        return R.render_frame(rp, b0, b1, dd, pos, fwd, rgt, up,
+                              jnp.float32(1.0), width=width, height=height,
+                              cfg=cfg)
+
+    rfn = jax.jit(_render)
+    render = lambda pos, fwd, rgt, up: rfn(
+        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+
 
     frames = []
     for v in range(n_frames):

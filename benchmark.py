@@ -93,10 +93,15 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
         bbmax_d = jnp.asarray(bb_max)
         dens_d = jnp.asarray(attrs_np[:, -1].astype(np.float32))
 
-        raster_fn = jax.jit(lambda pos, fwd, rgt, up: R.render_frame(
-            rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-            jnp.float32(fov), width=width, height=height, cfg=rcfg,
-        ))
+        def _render(rp, b0, b1, dd, pos, fwd, rgt, up):
+            return R.render_frame(
+                rp, b0, b1, dd, pos, fwd, rgt, up, jnp.float32(fov),
+                width=width, height=height, cfg=rcfg,
+            )
+
+        _rfn = jax.jit(_render)
+        raster_fn = lambda pos, fwd, rgt, up: _rfn(
+            rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
         frames = [
             tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
                   (c.position, c.forward, c.right, c.up))

@@ -54,6 +54,11 @@ struct Mesh {
     std::vector<int32_t> free_list;
     uint32_t stamp = 0;
     uint64_t rng_state = 0x9E3779B97F4A7C15ull;
+    // margin cache for incremental scans: 10 f32 per tet
+    // [orient_margin, orient_R, face_margin[4], face_R[4]]; margin <= 0
+    // means "recompute exactly". See mark_failures.
+    std::vector<float> cert;
+    std::vector<double> scan_pts;  // coords at the last completed scan
 
     const double *P(int32_t v) const { return &pts[3 * (int64_t)v]; }
 
@@ -68,9 +73,12 @@ struct Mesh {
             free_list.pop_back();
             tets[id].alive = 1;
             tets[id].conflict_stamp = 0;
+            if (cert.size() >= (size_t)(id + 1) * 10)
+                std::memset(&cert[(size_t)id * 10], 0, 10 * sizeof(float));
             return id;
         }
         tets.push_back(Tet());
+        if (!cert.empty()) cert.resize(tets.size() * 10, 0.0f);
         return (int32_t)tets.size() - 1;
     }
 
@@ -466,18 +474,98 @@ static inline FaceKey face_key(int32_t x, int32_t y, int32_t z) {
 
 // mark every tet violating orientation or local Delaunayness (both sides
 // of a failing face are marked). Returns the number of marked tets.
-static int64_t mark_failures(const Mesh &m, std::vector<uint8_t> &fail) {
+//
+// MARGIN CACHE: an exact check at scan k certifies |det| >= margin. The
+// determinant is a polynomial in the coordinates; if every involved point
+// has moved at most delta since then, |det| can have changed by at most a
+// Lipschitz bound B(R, delta) (derived by row-wise multilinearity:
+// orient3d rows have entries <= R and cofactors <= 2R^2, so
+// |ddet| <= 3 rows * 3 entries * 2*delta * 2R'^2 = 36 R'^2 delta, padded to
+// 64; the insphere matrix adds the lifted column with entries <= R'^2 and
+// cofactors <= 6R'^3/6R'^4, giving |ddet| <= 264 R'^4 delta, padded to
+// 512; both with R' = R + 2 delta, valid for delta <= 0.05 R'). While
+// margin > B the sign provably cannot flip, so the exact predicate is
+// skipped and the cached margin is decremented by B (staying a certified
+// bound). This makes the steady-state scan cost a few flops per face for
+// small motions instead of a full filtered predicate.
+static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
     fail.assign(m.tets.size(), 0);
     int64_t n_marked = 0;
     int64_t ntets = (int64_t)m.tets.size();
+    if (m.cert.size() < (size_t)ntets * 10)
+        m.cert.resize((size_t)ntets * 10, 0.0f);
+
+    int64_t n = m.n_real;
+    bool have_prev = m.scan_pts.size() == m.pts.size();
+    std::vector<float> delta(n + 4, 0.0f);
+    if (have_prev) {
+        for (int64_t i = 0; i < n; ++i) {
+            double dx = m.pts[3 * i] - m.scan_pts[3 * i];
+            double dy = m.pts[3 * i + 1] - m.scan_pts[3 * i + 1];
+            double dz = m.pts[3 * i + 2] - m.scan_pts[3 * i + 2];
+            delta[i] = std::nextafterf(
+                (float)std::sqrt(dx * dx + dy * dy + dz * dz), 1e30f);
+        }
+    }
+
+    auto row_R3 = [&](const Tet &t) {
+        const double *d = m.P(t.v[3]);
+        double r = 0.0;
+        for (int i = 0; i < 3; ++i) {
+            const double *p = m.P(t.v[i]);
+            double dx = p[0] - d[0], dy = p[1] - d[1], dz = p[2] - d[2];
+            r = std::max(r, dx * dx + dy * dy + dz * dz);
+        }
+        return std::sqrt(r);
+    };
+    auto row_R5 = [&](const Tet &t, const double *e) {
+        double r = 0.0;
+        for (int i = 0; i < 4; ++i) {
+            const double *p = m.P(t.v[i]);
+            double dx = p[0] - e[0], dy = p[1] - e[1], dz = p[2] - e[2];
+            r = std::max(r, dx * dx + dy * dy + dz * dz);
+        }
+        return std::sqrt(r);
+    };
+
     for (int64_t t = 0; t < ntets; ++t) {
         const Tet &tet = m.tets[t];
         if (!tet.alive) continue;
-        if (orient3d_sign(m.P(tet.v[0]), m.P(tet.v[1]), m.P(tet.v[2]),
-                          m.P(tet.v[3])) <= 0) {
-            if (!fail[t]) { fail[t] = 1; ++n_marked; }
-            continue;
+        float *ct = &m.cert[(size_t)t * 10];
+        double d4 = have_prev
+            ? std::max(std::max(delta[tet.v[0]], delta[tet.v[1]]),
+                       std::max(delta[tet.v[2]], delta[tet.v[3]]))
+            : 1e300;
+
+        // orientation
+        bool ok_cached = false;
+        if (have_prev && ct[0] > 0.0f) {
+            double Rp = (double)ct[1] + 2.0 * d4;
+            if (d4 <= 0.05 * Rp) {
+                double bound = 64.0 * Rp * Rp * d4;
+                if ((double)ct[0] > bound) {
+                    ct[0] = std::nextafterf((float)((double)ct[0] - bound),
+                                            -1e30f);
+                    ct[1] = std::nextafterf((float)Rp, 1e30f);
+                    ok_cached = ct[0] > 0.0f;
+                }
+            }
         }
+        if (!ok_cached) {
+            double mg = 0.0;
+            int sg = orient3d_sign_margin(m.P(tet.v[0]), m.P(tet.v[1]),
+                                          m.P(tet.v[2]), m.P(tet.v[3]),
+                                          &mg);
+            if (sg <= 0) {
+                ct[0] = 0.0f;
+                if (!fail[t]) { fail[t] = 1; ++n_marked; }
+                continue;
+            }
+            ct[0] = std::nextafterf((float)mg, -1e30f);
+            if (ct[0] < 0.0f) ct[0] = 0.0f;
+            ct[1] = std::nextafterf((float)row_R3(tet), 1e30f);
+        }
+
         for (int i = 0; i < 4; ++i) {
             int32_t nb = tet.n[i];
             if (nb == kNone || nb < (int32_t)t) continue;  // visit once
@@ -485,12 +573,45 @@ static int64_t mark_failures(const Mesh &m, std::vector<uint8_t> &fail) {
             int32_t apex = kNone;
             for (int j = 0; j < 4; ++j)
                 if (other.n[j] == (int32_t)t) { apex = other.v[j]; break; }
-            if (apex == kNone || m.insphere_tet(tet, m.P(apex)) >= 0) {
+            if (apex == kNone) {
                 if (!fail[t]) { fail[t] = 1; ++n_marked; }
                 if (!fail[nb]) { fail[nb] = 1; ++n_marked; }
+                continue;
+            }
+            double d5 = have_prev ? std::max(d4, (double)delta[apex])
+                                  : 1e300;
+            bool face_ok = false;
+            if (have_prev && ct[2 + i] > 0.0f) {
+                double Rp = (double)ct[6 + i] + 2.0 * d5;
+                if (d5 <= 0.05 * Rp) {
+                    double bound = 512.0 * Rp * Rp * Rp * Rp * d5;
+                    if ((double)ct[2 + i] > bound) {
+                        ct[2 + i] = std::nextafterf(
+                            (float)((double)ct[2 + i] - bound), -1e30f);
+                        ct[6 + i] = std::nextafterf((float)Rp, 1e30f);
+                        face_ok = ct[2 + i] > 0.0f;
+                    }
+                }
+            }
+            if (!face_ok) {
+                double mg = 0.0;
+                int sg = insphere_sign_margin(
+                    m.P(tet.v[0]), m.P(tet.v[1]), m.P(tet.v[2]),
+                    m.P(tet.v[3]), m.P(apex), &mg);
+                if (sg >= 0) {
+                    ct[2 + i] = 0.0f;
+                    if (!fail[t]) { fail[t] = 1; ++n_marked; }
+                    if (!fail[nb]) { fail[nb] = 1; ++n_marked; }
+                } else {
+                    ct[2 + i] = std::nextafterf((float)mg, -1e30f);
+                    if (ct[2 + i] < 0.0f) ct[2 + i] = 0.0f;
+                    ct[6 + i] = std::nextafterf(
+                        (float)row_R5(tet, m.P(apex)), 1e30f);
+                }
             }
         }
     }
+    m.scan_pts = m.pts;
     return n_marked;
 }
 
@@ -732,8 +853,14 @@ static RepairResult repair_attempt(Mesh &m, const std::vector<uint8_t> &fail,
             if (bit != bmap.end()) {
                 const BFace &bf = bit->second;
                 dst.n[i] = bf.kept;
-                if (bf.kept != kNone)
+                if (bf.kept != kNone) {
                     m.tets[bf.kept].n[bf.kept_slot] = gid;
+                    // the kept tet's cached face margin was certified
+                    // against the old (carved) apex — invalidate it
+                    if (m.cert.size() >= (size_t)(bf.kept + 1) * 10)
+                        m.cert[(size_t)bf.kept * 10 + 2 + bf.kept_slot] =
+                            0.0f;
+                }
             } else {
                 dst.n[i] = l2g[src.n[i]];
             }
@@ -889,7 +1016,7 @@ void foam_destroy(FoamTriangulation *h) { delete h; }
 // Build from float32 points (n x 3), pre-sorted spatially by the caller.
 // Returns a Status code (0 = OK).
 int foam_build(FoamTriangulation *h, const float *points, int64_t n) {
-    h->mesh = foam::Mesh();
+    h->mesh = foam::Mesh();  // also drops the margin cache + scan_pts
     std::vector<double> coords(3 * n);
     for (int64_t i = 0; i < 3 * n; ++i) coords[i] = (double)points[i];
     int status = foam::build(h->mesh, coords.data(), n);

@@ -135,8 +135,21 @@ static const double kEps = std::ldexp(1.0, -52);  // 2^-52
 static const double kOrientErr = (7.0 + 56.0 * kEps) * kEps;
 static const double kInsphereErr = (16.0 + 224.0 * kEps) * kEps;
 
-inline int orient3d_sign(const double *a, const double *b, const double *c,
-                         const double *d) {
+// margin variants: when the float filter decides the sign, *margin gets a
+// certified lower bound on |det| (|det_float| - errbound); when the exact
+// fallback is needed the margin is 0 (callers must not cache it). Used by
+// the incremental-update margin cache in delaunay.cpp.
+inline int orient3d_sign_margin(const double *a, const double *b,
+                                const double *c, const double *d,
+                                double *margin);
+inline int insphere_sign_margin(const double *a, const double *b,
+                                const double *c, const double *d,
+                                const double *e, double *margin);
+
+inline int orient3d_sign_margin(const double *a, const double *b,
+                                const double *c, const double *d,
+                                double *margin) {
+    if (margin) *margin = 0.0;
     double adx = a[0] - d[0], ady = a[1] - d[1], adz = a[2] - d[2];
     double bdx = b[0] - d[0], bdy = b[1] - d[1], bdz = b[2] - d[2];
     double cdx = c[0] - d[0], cdy = c[1] - d[1], cdz = c[2] - d[2];
@@ -152,8 +165,14 @@ inline int orient3d_sign(const double *a, const double *b, const double *c,
                        (std::fabs(cdxady) + std::fabs(cdyadx)) * std::fabs(bdz) +
                        (std::fabs(adxbdy) + std::fabs(adybdx)) * std::fabs(cdz);
     double errbound = kOrientErr * permanent;
-    if (det > errbound) return 1;
-    if (det < -errbound) return -1;
+    if (det > errbound) {
+        if (margin) *margin = det - errbound;
+        return 1;
+    }
+    if (det < -errbound) {
+        if (margin) *margin = -det - errbound;
+        return -1;
+    }
 
     // exact fallback: the subtractions above are exact only if the inputs
     // share exponent range; redo fully exactly. Differences of two doubles
@@ -176,12 +195,19 @@ inline int orient3d_sign(const double *a, const double *b, const double *c,
     return exp_sign(res);
 }
 
+inline int orient3d_sign(const double *a, const double *b, const double *c,
+                         const double *d) {
+    return orient3d_sign_margin(a, b, c, d, nullptr);
+}
+
 // ----------------------------------------------------------------------
 // insphere: sign of the 5x5 determinant; with a positively oriented tet
 // (a,b,c,d), > 0 iff e lies strictly inside the circumsphere.
 
-inline int insphere_sign(const double *a, const double *b, const double *c,
-                         const double *d, const double *e) {
+inline int insphere_sign_margin(const double *a, const double *b,
+                                const double *c, const double *d,
+                                const double *e, double *margin) {
+    if (margin) *margin = 0.0;
     double aex = a[0] - e[0], aey = a[1] - e[1], aez = a[2] - e[2];
     double bex = b[0] - e[0], bey = b[1] - e[1], bez = b[2] - e[2];
     double cex = c[0] - e[0], cey = c[1] - e[1], cez = c[2] - e[2];
@@ -228,8 +254,14 @@ inline int insphere_sign(const double *a, const double *b, const double *c,
          (cexaeyplus + aexceyplus) * bezplus +
          (aexbeyplus + bexaeyplus) * cezplus) * dlift;
     double errbound = kInsphereErr * permanent;
-    if (det > errbound) return 1;
-    if (det < -errbound) return -1;
+    if (det > errbound) {
+        if (margin) *margin = det - errbound;
+        return 1;
+    }
+    if (det < -errbound) {
+        if (margin) *margin = -det - errbound;
+        return -1;
+    }
 
     // exact fallback with expansions
     auto diff = [](double x, double y) {
@@ -270,6 +302,11 @@ inline int insphere_sign(const double *a, const double *b, const double *c,
     Exp res = exp_add(exp_sub(exp_mul(ld, eabc), exp_mul(lc, edab)),
                       exp_sub(exp_mul(lb, ecda), exp_mul(la, ebcd)));
     return exp_sign(res);
+}
+
+inline int insphere_sign(const double *a, const double *b, const double *c,
+                         const double *d, const double *e) {
+    return insphere_sign_margin(a, b, c, d, e, nullptr);
 }
 
 }  // namespace foam

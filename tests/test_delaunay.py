@@ -224,3 +224,32 @@ def test_native_cell_bounds_matches_numpy():
     np.testing.assert_allclose(
         nb_max[interior], pb_max[interior], atol=1e-4
     )
+
+
+def test_incremental_repair_margin_cache_stress():
+    """Many small sequential motions: the margin cache must keep every
+    update exactly equal to a fresh rebuild (margins decay conservatively
+    across scans and refresh exactly)."""
+    from radfoam_tpu.delaunay import Triangulation
+    from radfoam_tpu.delaunay.native import load_native_backend
+
+    backend = load_native_backend()
+    if backend is None:
+        pytest.skip("native backend unavailable")
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tri = Triangulation(pts, backend=backend)
+    pts = pts[tri.permutation()].copy()
+
+    for step in range(10):
+        moved = (
+            pts + rng.standard_normal(pts.shape).astype(np.float32) * 3e-5
+        ).astype(np.float32)
+        tri.rebuild(moved, incremental=True)
+        fresh = load_native_backend()
+        _, adj, off = fresh.triangulate_with_adjacency(moved)
+        np.testing.assert_array_equal(tri.point_adjacency(), adj)
+        np.testing.assert_array_equal(tri.point_adjacency_offsets(), off)
+        pts = moved

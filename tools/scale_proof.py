@@ -11,6 +11,7 @@ import os, sys as _sys
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
+from functools import partial
 import sys
 import time
 
@@ -77,12 +78,17 @@ for v in range(4):
 bbmin_d, bbmax_d = jnp.asarray(bb_min), jnp.asarray(bb_max)
 dens_d = jnp.asarray(density)
 
+def _render(rp, b0, b1, dd, pos, fwd, rgt, up, *, cfg):
+    return R.render_frame(rp, b0, b1, dd, pos, fwd, rgt, up,
+                          jnp.float32(1.0), width=W, height=H, cfg=cfg)
+
+
 while True:
     cfg = R.RasterConfig(sh_degree=SH, weight_threshold=0.05, tile=16,
                          max_pairs=cap, alpha_cull=1e-3)
-    render = jax.jit(lambda pos, fwd, rgt, up: R.render_frame(
-        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-        jnp.float32(1.0), width=W, height=H, cfg=cfg))
+    rfn = jax.jit(partial(_render, cfg=cfg))
+    render = lambda pos, fwd, rgt, up: rfn(
+        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
     t0 = time.time()
     img, n_pairs, forced = render(*frames[0])
     jax.block_until_ready(img)
@@ -111,11 +117,17 @@ w2, h2 = 480, 270
 cam = look_at(np.array([4.5, 0, 1.5]), [0, 0, 0], [0, 0, 1], fov=1.0,
               width=w2, height=h2)
 cfg2 = cfg._replace(max_pairs=cap)
-img_r, _, _ = jax.jit(lambda pos, fwd, rgt, up: R.render_frame(
-    rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up, jnp.float32(1.0),
-    width=w2, height=h2, cfg=cfg2))(
-        *[jnp.asarray(np.asarray(x, np.float32)) for x in
-          (cam.position, cam.forward, cam.right, cam.up)])
+
+
+def _render2(rp, b0, b1, dd, pos, fwd, rgt, up):
+    return R.render_frame(rp, b0, b1, dd, pos, fwd, rgt, up,
+                          jnp.float32(1.0), width=w2, height=h2, cfg=cfg2)
+
+
+img_r, _, _ = jax.jit(_render2)(
+    rpacked, bbmin_d, bbmax_d, dens_d,
+    *[jnp.asarray(np.asarray(x, np.float32)) for x in
+      (cam.position, cam.forward, cam.right, cam.up)])
 img_r = np.asarray(img_r)
 
 rays = np.asarray(jax.device_get(cast_rays_device(
@@ -150,17 +162,18 @@ starts = jnp.zeros((R_RAYS,), jnp.int32)
 targets = jnp.zeros((R_RAYS, 3), jnp.float32)
 tcfg_t = TraceConfig(sh_degree=SH, num_quantiles=0, weight_threshold=0.001)
 
-def loss_fn(p, a):
-    o = trace(p, a, jnp.asarray(table), train_rays, starts, config=tcfg_t)
+def loss_fn(p, a, nbr, rays_in, starts_in):
+    o = trace(p, a, nbr, rays_in, starts_in, config=tcfg_t)
     return jnp.mean((o.rgba[:, :3] - targets) ** 2)
 
 grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
 p_d, a_d = jnp.asarray(pts), jnp.asarray(attrs)
-g = grad_fn(p_d, a_d)
+nbr_d = jnp.asarray(table)
+g = grad_fn(p_d, a_d, nbr_d, train_rays, starts)
 jax.block_until_ready(g)
 t0 = time.time()
 for _ in range(3):
-    jax.block_until_ready(grad_fn(p_d, a_d))
+    jax.block_until_ready(grad_fn(p_d, a_d, nbr_d, train_rays, starts))
 out["train_fwdbwd_s_per_iter"] = round((time.time() - t0) / 3, 2)
 print(f"train fwd+bwd @1M rays: {out['train_fwdbwd_s_per_iter']}s/iter",
       flush=True)
