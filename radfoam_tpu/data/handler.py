@@ -1,0 +1,134 @@
+"""Dataset handler: split loading, ray flattening, batch iteration.
+
+Mirrors the reference DataHandler (data_loader/__init__.py:36-128) with one
+structural change: instead of three independently-shuffled fetchers whose
+RNGs must stay aligned, the (ray, rgb, alpha, image-index) columns are
+packed into ONE array and served by a single :class:`BatchFetcher` — the
+same batches, but alignment holds by construction, and the per-ray image
+index lets the jitted train step look up its camera start cell without
+host round-trips.
+"""
+
+import os
+
+import numpy as np
+
+
+def get_up(c2ws):
+    """Global up vector from camera frames (reference
+    data_loader/__init__.py:19-33): the direction least aligned with the
+    cameras' right axes (plus a small forward penalty), signed to match
+    the cameras' average up."""
+    right = np.asarray(c2ws[:, :3, 0], np.float64)
+    down = np.asarray(c2ws[:, :3, 1], np.float64)
+    forward = np.asarray(c2ws[:, :3, 2], np.float64)
+
+    A = right.T @ right + 0.02 * (forward.T @ forward)
+    eigvals, eigvecs = np.linalg.eigh(A)
+    up = eigvecs[:, np.argmin(eigvals)]
+    up *= np.sign((-down @ up).sum())
+    return up.astype(np.float32)
+
+
+class DataHandler:
+    PATCH_SIZE = 8
+
+    def __init__(self, dataset_args, rays_per_batch, device=None):
+        self.args = dataset_args
+        self.rays_per_batch = rays_per_batch
+        self.img_wh = None
+        self.patch_size = self.PATCH_SIZE
+        self._fetcher = None
+
+    def _make_dataset(self, split, downsample):
+        from radfoam_tpu.data.blender import BlenderDataset
+        from radfoam_tpu.data.colmap import COLMAPDataset
+
+        dataset_dict = {"colmap": COLMAPDataset, "blender": BlenderDataset}
+        data_dir = os.path.join(self.args.data_path, self.args.scene)
+        cls = dataset_dict[self.args.dataset]
+        if downsample is not None:
+            return cls(data_dir, split=split, downsample=downsample)
+        return cls(data_dir, split=split)
+
+    def reload(self, split, downsample=None):
+        ds = self._make_dataset(split, downsample)
+        self.img_wh = ds.img_wh
+        self.fx = ds.fx
+        self.fy = ds.fy
+        self.c2ws = np.asarray(ds.poses)
+        self.rays = np.asarray(ds.all_rays)
+        self.rgbs = np.asarray(ds.all_rgbs)
+        self.alphas = np.asarray(
+            getattr(ds, "all_alphas", np.ones_like(self.rgbs[..., :1]))
+        )
+
+        self.viewer_up = get_up(self.c2ws)
+        self.viewer_pos = self.c2ws[0, :3, 3]
+        self.viewer_forward = self.c2ws[0, :3, 2]
+
+        self.points3D = getattr(ds, "points3D", None)
+        self.points3D_colors = getattr(ds, "points3D_color", None)
+
+        if split == "train":
+            self._pack_train()
+
+    def _pack_train(self):
+        """Pack per-ray training columns into one (rows, ..., 11) array."""
+        V, H, W = self.rays.shape[:3]
+        img_idx = np.broadcast_to(
+            np.arange(V, dtype=np.float32)[:, None, None, None],
+            (V, H, W, 1),
+        )
+        packed = np.concatenate(
+            [
+                self.rays.astype(np.float32),
+                self.rgbs.astype(np.float32),
+                self.alphas.astype(np.float32),
+                img_idx,
+            ],
+            axis=-1,
+        )
+        if getattr(self.args, "patch_based", False):
+            ps = self.patch_size
+            # resample to patch-aligned dimensions, then cut into patches
+            dw, dh = W - W % ps, H - H % ps
+            w_inds = np.linspace(0, W - 1, dw, dtype=int)
+            h_inds = np.linspace(0, H - 1, dh, dtype=int)
+            packed = packed[:, h_inds][:, :, w_inds]
+            packed = packed.reshape(V, dh // ps, ps, dw // ps, ps, 11)
+            packed = packed.transpose(0, 1, 3, 2, 4, 5)
+            self.train_packed = np.ascontiguousarray(
+                packed.reshape(-1, ps * ps, 11)
+            )
+            self.batch_size = self.rays_per_batch // (ps * ps)
+        else:
+            self.train_packed = np.ascontiguousarray(
+                packed.reshape(-1, 11)
+            )
+            self.batch_size = self.rays_per_batch
+
+        self.train_rays = self.train_packed[..., :6]
+        self.train_rgbs = self.train_packed[..., 6:9]
+        self.train_alphas = self.train_packed[..., 9:10]
+
+    def get_iter(self):
+        from radfoam_tpu.data.fetcher import BatchFetcher
+
+        self.stop()
+        self._fetcher = BatchFetcher(
+            self.train_packed, self.batch_size, shuffle=True
+        )
+        while True:
+            batch = self._fetcher.next()
+            yield (
+                batch[..., :6],
+                batch[..., 6:9],
+                batch[..., 9:10],
+                batch[..., 10:11],
+            )
+
+    def stop(self):
+        if self._fetcher is not None:
+            self._fetcher.stop()
+            self._fetcher = None
