@@ -58,19 +58,30 @@ def main():
 
     t0 = time.time()
     pts, attrs, table, bb_min, bb_max = build_scene()
-    print(f"scene ready in {time.time()-t0:.0f}s (K={table.shape[1]})",
-          file=sys.stderr)
+    from radfoam_tpu.ops.cellbound import clamp_bounds
+
+    bb_min, bb_max, clamp_r = clamp_bounds(pts, bb_min, bb_max)
+    print(f"scene ready in {time.time()-t0:.0f}s (K={table.shape[1]}, "
+          f"bound clamp r={clamp_r:.3f})", file=sys.stderr)
 
     cfg = R.RasterConfig(
         sh_degree=SH, weight_threshold=0.05, tile=16,
-        max_pairs=1 << 22, alpha_cull=1e-3,
+        max_pairs=1 << 22, alpha_cull=1e-3, table_k=int(table.shape[1]),
     )
-    rpacked = jax.jit(R.pack_raster_table)(
-        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
-    )
-    rpacked.block_until_ready()
     bbmin_d = jnp.asarray(bb_min)
     bbmax_d = jnp.asarray(bb_max)
+
+    @jax.jit
+    def _build(p, a, t, b0, b1):
+        return R.build_row_table(
+            R.pack_raster_table(p, a, t), b0, b1, sh_degree=SH
+        )
+
+    rtable = _build(
+        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+        bbmin_d, bbmax_d,
+    )
+    rtable.block_until_ready()
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
 
     # pass the big arrays as jit ARGS (a closure would capture them as
@@ -82,7 +93,7 @@ def main():
 
     rfn = jax.jit(_render)
     render = lambda pos, fwd, rgt, up: rfn(
-        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
 
 
     frames = []
@@ -107,10 +118,13 @@ def main():
     for f in frames:
         jax.block_until_ready(render(*f))
 
+    # NB: block_until_ready over the axon tunnel does not reliably wait
+    # for remote completion; a device_get of the queue tail does.
+    _ = jax.device_get(render(*frames[0])[0][:2, :2])
     t0 = time.perf_counter()
     for _ in range(n_reps):
         imgs = [render(*f)[0] for f in frames]
-        jax.block_until_ready(imgs)
+    _ = jax.device_get(imgs[-1][:2, :2])
     t1 = time.perf_counter()
 
     fps = n_reps * n_frames / (t1 - t0)

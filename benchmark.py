@@ -80,14 +80,23 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
             tri.point_adjacency(), tri.point_adjacency_offsets()
         )
         bb_min, bb_max, _ = tri.cell_bounds()
+        from radfoam_tpu.ops.cellbound import clamp_bounds
+
+        bb_min, bb_max, _ = clamp_bounds(pts_np, bb_min, bb_max)
 
         cap = int(min(1 << 22, max(1 << 16, 64 * pts_np.shape[0])))
         rcfg = R.RasterConfig(
             sh_degree=model.sh_degree, weight_threshold=0.05,
-            alpha_cull=1e-3, max_pairs=cap,
+            alpha_cull=1e-3, max_pairs=cap, table_k=int(table.shape[1]),
         )
-        rpacked = jax.jit(R.pack_raster_table)(
-            jnp.asarray(pts_np), jnp.asarray(attrs_np), jnp.asarray(table)
+        rtable = jax.jit(
+            lambda p, a, t, b0, b1: R.build_row_table(
+                R.pack_raster_table(p, a, t), b0, b1,
+                sh_degree=model.sh_degree,
+            )
+        )(
+            jnp.asarray(pts_np), jnp.asarray(attrs_np), jnp.asarray(table),
+            jnp.asarray(bb_min), jnp.asarray(bb_max),
         )
         bbmin_d = jnp.asarray(bb_min)
         bbmax_d = jnp.asarray(bb_max)
@@ -101,7 +110,7 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
 
         _rfn = jax.jit(_render)
         raster_fn = lambda pos, fwd, rgt, up: _rfn(
-            rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+            rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
         frames = [
             tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
                   (c.position, c.forward, c.right, c.up))

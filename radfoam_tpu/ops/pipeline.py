@@ -141,13 +141,24 @@ class Pipeline:
                 tri.point_adjacency(), tri.point_adjacency_offsets()
             )
             bb_min, bb_max, _ = tri.cell_bounds()
-            rpacked = jax.jit(R.pack_raster_table)(
-                jnp.asarray(pts_s), jnp.asarray(attrs_s), jnp.asarray(table)
+            from radfoam_tpu.ops.cellbound import clamp_bounds
+
+            bb_min, bb_max, _ = clamp_bounds(pts_s, bb_min, bb_max)
+            rtable = jax.jit(
+                lambda p, a, t, b0, b1: R.build_row_table(
+                    R.pack_raster_table(p, a, t), b0, b1,
+                    sh_degree=self.sh_degree,
+                )
+            )(
+                jnp.asarray(pts_s), jnp.asarray(attrs_s),
+                jnp.asarray(table), jnp.asarray(bb_min),
+                jnp.asarray(bb_max),
             )
             self._raster_key = key
             self._raster_val = (
-                rpacked, jnp.asarray(bb_min), jnp.asarray(bb_max),
+                rtable, jnp.asarray(bb_min), jnp.asarray(bb_max),
                 jnp.asarray(attrs_s[:, -1].astype(np.float32)),
+                int(table.shape[1]),
             )
         return self._raster_val
 
@@ -168,18 +179,18 @@ class Pipeline:
         if engine == "raster" and camera.model == 0:  # pinhole
             from radfoam_tpu.ops import raster as R
 
-            rpacked, bbmin, bbmax, dens = self._raster_scene(
+            rtable, bbmin, bbmax, dens, k_tab = self._raster_scene(
                 points, attributes
             )
-            n = rpacked.shape[0]
+            n = rtable.shape[0]
             cap = int(min(1 << 22, max(1 << 16, 64 * n)))
             rcfg = R.RasterConfig(
                 sh_degree=self.sh_degree,
                 weight_threshold=weight_threshold,
-                alpha_cull=1e-3, max_pairs=cap,
+                alpha_cull=1e-3, max_pairs=cap, table_k=k_tab,
             )
             img, n_pairs, _ = R.render_frame(
-                rpacked, bbmin, bbmax, dens,
+                rtable, bbmin, bbmax, dens,
                 jnp.asarray(camera.position, jnp.float32),
                 jnp.asarray(camera.forward, jnp.float32),
                 jnp.asarray(camera.right, jnp.float32),

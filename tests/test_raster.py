@@ -140,15 +140,19 @@ def test_pallas_kernel_matches_reference():
     W = H = 32
     cam, start = cam_setup(pts, W, H)
     cfg = R.RasterConfig(sh_degree=2, weight_threshold=0.001, tile=16,
-                         max_pairs=1 << 16, interpret=True)
+                         max_pairs=1 << 16, interpret=True,
+                         table_k=int(table.shape[1]))
     ref_img, _, _ = raster_image_reference(
         pts, attrs, table, bounds, cam, cfg
     )
-    rpacked = R.pack_raster_table(
-        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+    rtable = R.build_row_table(
+        R.pack_raster_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+        ),
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
     )
     img, n_pairs, forced = R.render_frame(
-        rpacked, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+        rtable, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
         jnp.asarray(attrs[:, -1]),
         jnp.asarray(cam.position), jnp.asarray(cam.forward),
         jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),

@@ -56,14 +56,24 @@ out["cell_bounds_s"] = round(time.time() - t0, 1)
 print(f"cell_bounds: {out['cell_bounds_s']}s hull={int(hull.sum())}",
       flush=True)
 
+from radfoam_tpu.ops.cellbound import clamp_bounds
+
+bb_min, bb_max, clamp_r = clamp_bounds(pts, bb_min, bb_max)
+out["bound_clamp_r"] = round(clamp_r, 4)
+
 # ---- raster FPS at 1080p ------------------------------------------------
 W, H = 1920, 1080
 cap = 1 << 22
 density = attrs[:, -1]
-rpacked = jax.jit(R.pack_raster_table)(
-    jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
-)
-rpacked.block_until_ready()
+@jax.jit
+def _build(p, a, t, b0, b1):
+    return R.build_row_table(
+        R.pack_raster_table(p, a, t), b0, b1, sh_degree=SH
+    )
+
+rtable = _build(jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+                jnp.asarray(bb_min), jnp.asarray(bb_max))
+rtable.block_until_ready()
 
 frames = []
 for v in range(4):
@@ -85,10 +95,11 @@ def _render(rp, b0, b1, dd, pos, fwd, rgt, up, *, cfg):
 
 while True:
     cfg = R.RasterConfig(sh_degree=SH, weight_threshold=0.05, tile=16,
-                         max_pairs=cap, alpha_cull=1e-3)
+                         max_pairs=cap, alpha_cull=1e-3,
+                         table_k=int(table.shape[1]))
     rfn = jax.jit(partial(_render, cfg=cfg))
     render = lambda pos, fwd, rgt, up: rfn(
-        rpacked, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
     t0 = time.time()
     img, n_pairs, forced = render(*frames[0])
     jax.block_until_ready(img)
@@ -102,11 +113,14 @@ out["n_pairs"] = int(n_pairs)
 out["forced_pops"] = float(forced)
 for f in frames:
     jax.block_until_ready(render(*f))
+# device_get forces real remote completion (block_until_ready over the
+# axon tunnel returns early)
+_ = jax.device_get(render(*frames[0])[0][:2, :2])
 t0 = time.time()
 reps = 3
 for _ in range(reps):
     outs = [render(*f)[0] for f in frames]
-    jax.block_until_ready(outs)
+_ = jax.device_get(outs[-1][:2, :2])
 dt = (time.time() - t0) / (reps * len(frames))
 out["raster_ms_per_frame"] = round(dt * 1000, 1)
 out["raster_fps_1080p"] = round(1 / dt, 2)
@@ -125,7 +139,7 @@ def _render2(rp, b0, b1, dd, pos, fwd, rgt, up):
 
 
 img_r, _, _ = jax.jit(_render2)(
-    rpacked, bbmin_d, bbmax_d, dens_d,
+    rtable, bbmin_d, bbmax_d, dens_d,
     *[jnp.asarray(np.asarray(x, np.float32)) for x in
       (cam.position, cam.forward, cam.right, cam.up)])
 img_r = np.asarray(img_r)
