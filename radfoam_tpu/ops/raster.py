@@ -484,7 +484,7 @@ def _apply_entry(bst, od, rgb3, t_in, key_e, in_list, wt, Wbuf):
 def _chunk_precompute(chunk_t, origin, basis, K, A):
     """Batch the per-chunk camera-dependent quantities.
 
-    chunk_t: (W + 5, CE) transposed row-table rows (build_row_table
+    chunk_t: (W + 8, CE) transposed row-table rows (build_row_table
     layout). Returns (vx, vy, vz (K, CE), num (K, CE), sig (1, CE),
     key (1, CE), rgb[(CE, P)] x 3). The conservative depth key is derived
     here from the stored bb center/extent — the exact same formula as
@@ -498,9 +498,12 @@ def _chunk_precompute(chunk_t, origin, basis, K, A):
     vx = chunk_t[3 : 3 + K]
     vy = chunk_t[3 + K : 3 + 2 * K]
     vz = chunk_t[3 + 2 * K : 3 + 3 * K]
-    px = chunk_t[0:1]
-    py = chunk_t[1:2]
-    pz = chunk_t[2:3]
+    # position = p_hi + p_lo (hi/lo split restores ~f32 precision from an
+    # f16 table; f32 tables store p_lo = 0 so this is dtype-agnostic)
+    Wt = 3 + 3 * K + A
+    px = chunk_t[0:1] + chunk_t[Wt + 5 : Wt + 6]
+    py = chunk_t[1:2] + chunk_t[Wt + 6 : Wt + 7]
+    pz = chunk_t[2:3] + chunk_t[Wt + 7 : Wt + 8]
     num = (
         vx * (px - ox) + vy * (py - oy) + vz * (pz - oz)
         + 0.5 * (vx * vx + vy * vy + vz * vz)
@@ -656,7 +659,11 @@ def _composite_kernel(cfg, K, A, width, height, ntx,
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(c % 2, c).wait()
-        chunk_t = _mxu_transpose(buf[c % 2])  # (Wrow, CE)
+        # f16 tables: upcast on the VPU before the MXU transpose (f32
+        # identity contraction) — the DMA already banked the bandwidth win
+        chunk_t = _mxu_transpose(
+            buf[c % 2].astype(jnp.float32)
+        )  # (Wrow, CE)
         pre = _chunk_precompute(chunk_t, origin, basis, K, A)
         # max real degree over the chunk gates the plane-block skip
         degm = jnp.max(chunk_t[deg_col : deg_col + 1])
@@ -699,7 +706,7 @@ def _composite_kernel(cfg, K, A, width, height, ntx,
 def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
     """Run the per-tile composite kernel over the whole frame.
 
-    rows: (Mp + CE, W + 5) f32 pre-gathered sorted cell rows
+    rows: (Mp + CE, W + 8) f32/f16 pre-gathered sorted cell rows
       (build_row_table layout: planar-SH pack + center/extent/degree) in
       the CE-ALIGNED per-tile layout (every tile's list starts at a
       multiple of entry_chunk).
@@ -734,7 +741,7 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.entry_chunk, Wrow), jnp.float32),
+            pltpu.VMEM((2, cfg.entry_chunk, Wrow), rows.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -812,10 +819,11 @@ def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up, ds,
 
 
 def tiles_to_image(tiles, *, width, height, tile):
-    """(n_tiles, 4, tile*tile) -> (height, width, 4) crop."""
+    """(n_tiles, C, tile*tile) -> (height, width, C) crop."""
     ntx, nty = _grid_shape(width, height, tile)
-    img = tiles.transpose(0, 2, 1).reshape(nty, ntx, tile, tile, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, 4)
+    C = tiles.shape[1]
+    img = tiles.transpose(0, 2, 1).reshape(nty, ntx, tile, tile, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, C)
     return img[:height, :width]
 
 
@@ -835,17 +843,27 @@ def pack_raster_planar(rpacked, K, A):
     )
 
 
-def build_row_table(rpacked, bb_min, bb_max, *, sh_degree):
+def build_row_table(rpacked, bb_min, bb_max, *, sh_degree,
+                    dtype=jnp.float32):
     """Static per-scene row table consumed by the composite kernel.
 
-    Layout (W + 5 columns, W = 3 + 3K + A):
-      [planar pack (W) | bb center (3) | extent norm (1) | degree (1)]
+    Layout (W + 8 columns, W = 3 + 3K + A):
+      [p_hi (3) | planes+attrs (W-3) | bb center (3) | extent norm (1) |
+       degree (1) | p_lo (3)]
 
     Everything camera-dependent (the conservative depth key) is derived
     in-kernel from the stored center/extent, so this table is built ONCE
     per triangulation and the per-frame pipeline only bins, sorts, and
     gathers — no per-frame multi-GB table rewrites (measured ~60 ms/frame
     at 2M points before hoisting).
+
+    ``dtype=float16`` halves the frame's dominant HBM traffic (the bulk
+    row gather + the kernel's DMA stream) and is LOSSLESS for the plane
+    offsets (pack_raster_table rounds them through f16 already); cell
+    positions keep ~22 mantissa bits via the hi/lo split (p = p_hi + p_lo,
+    reconstructed in-kernel — the f32 path stores p_lo = 0 so the kernel
+    is dtype-agnostic). Attr rounding matches the benchmark protocol's
+    fp16 attribute mode (reference benchmark.py:95-139).
     """
     N, W = rpacked.shape
     A = 1 + 3 * (sh_degree + 1) ** 2
@@ -861,55 +879,31 @@ def build_row_table(rpacked, bb_min, bb_max, *, sh_degree):
     e_norm = jnp.linalg.norm(
         0.5 * (bb_max - bb_min).astype(jnp.float32), axis=-1, keepdims=True
     )
+    p = planar[:, :3]
+    if jnp.dtype(dtype) == jnp.float16:
+        p_hi = p.astype(jnp.float16).astype(jnp.float32)
+        p_lo = p - p_hi
+    else:
+        p_hi = p
+        p_lo = jnp.zeros_like(p)
     table = jnp.concatenate(
-        [planar, center, e_norm, deg[:, None]], axis=1
-    )
+        [p_hi, planar[:, 3:], center, e_norm, deg[:, None], p_lo], axis=1
+    ).astype(dtype)
     # Mosaic DMA slices must be 128-aligned along lanes
     W_pad = -(-table.shape[1] // 128) * 128
     return jnp.pad(table, ((0, 0), (0, W_pad - table.shape[1])))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "cfg"),
-)
-def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
-                 fov, *, width, height, cfg):
-    """Full raster render: bin + sort + gather + Pallas composite.
+def relayout_pairs(cell_s, starts, *, width, height, cfg):
+    """Re-layout sorted pairs so every tile list starts CE-aligned.
 
-    rows_table: (N, W + 5) build_row_table output — the static per-scene
-      row table (planar pack + bb center/extent/degree columns).
-    bb_min/bb_max: (N, 3) cell AABBs (cellbound.cell_bounds, ideally
-      clamped with cellbound.clamp_bounds — MUST be the same bounds the
-      table was built with, or the kernel's depth keys diverge from the
-      sort order).
-    density: (N,) activated densities (alpha culling input).
-
-    Returns ((H, W, 4) f32 rgba image, n_pairs, forced-pop count).
+    Mosaic DMA slice starts must honor the (8, 128) HBM tiling, so each
+    tile's entry list is padded up to a multiple of ``cfg.entry_chunk``.
+    Uses the same scatter-max + running-max expansion trick as binning
+    (jnp.repeat lowers to a binary-search gather — measured ~250 ms at 4M
+    pairs). Returns (cell_p (Mp,) int32 gather indices, nstarts
+    (n_tiles+1,) aligned offsets, lens (n_tiles,) true lengths).
     """
-    N, Wt = rows_table.shape
-    # layout: W + 5 used columns (W = 3 + 3K + A) padded to 128; the pad
-    # hides K, so the scene's adjacency width rides in cfg.table_k
-    A = 1 + 3 * (cfg.sh_degree + 1) ** 2
-    K = cfg.table_k
-    if K <= 0:
-        raise ValueError(
-            "cfg.table_k must carry the scene's adjacency width "
-            "(nbr_idx.shape[1])"
-        )
-    if -(-(3 + 3 * K + A + 5) // 128) * 128 != Wt:
-        raise ValueError(
-            f"rows_table width {Wt} inconsistent with table_k={K}"
-        )
-
-    cell_s, key_cell, starts, n_pairs = bin_pairs(
-        bb_min, bb_max, density, pos, fwd, rgt, up, fov,
-        width=width, height=height, cfg=cfg,
-    )
-
-    # re-layout pairs so every tile's list starts at a CE-aligned offset
-    # (Mosaic DMA slice starts must honor the (8, 128) HBM tiling): the
-    # same scatter-max + running-max expansion as binning
     CE = cfg.entry_chunk
     ntx, nty = _grid_shape(width, height, cfg.tile)
     n_tiles = ntx * nty
@@ -929,6 +923,50 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
     valid = within < auxtp[:, 1]
     src = auxtp[:, 2] + jnp.where(valid, within, 0)
     cell_p = jnp.where(valid, jnp.take(cell_s, src), 0)
+    return cell_p, nstarts, lens
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg"),
+)
+def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
+                 fov, *, width, height, cfg):
+    """Full raster render: bin + sort + gather + Pallas composite.
+
+    rows_table: (N, W + 8) build_row_table output — the static per-scene
+      row table (planar pack + bb center/extent/degree columns).
+    bb_min/bb_max: (N, 3) cell AABBs (cellbound.cell_bounds, ideally
+      clamped with cellbound.clamp_bounds — MUST be the same bounds the
+      table was built with, or the kernel's depth keys diverge from the
+      sort order).
+    density: (N,) activated densities (alpha culling input).
+
+    Returns ((H, W, 4) f32 rgba image, n_pairs, forced-pop count).
+    """
+    N, Wt = rows_table.shape
+    # layout: W + 8 used columns (W = 3 + 3K + A) padded to 128; the pad
+    # hides K, so the scene's adjacency width rides in cfg.table_k
+    A = 1 + 3 * (cfg.sh_degree + 1) ** 2
+    K = cfg.table_k
+    if K <= 0:
+        raise ValueError(
+            "cfg.table_k must carry the scene's adjacency width "
+            "(nbr_idx.shape[1])"
+        )
+    if -(-(3 + 3 * K + A + 8) // 128) * 128 != Wt:
+        raise ValueError(
+            f"rows_table width {Wt} inconsistent with table_k={K}"
+        )
+
+    cell_s, key_cell, starts, n_pairs = bin_pairs(
+        bb_min, bb_max, density, pos, fwd, rgt, up, fov,
+        width=width, height=height, cfg=cfg,
+    )
+
+    cell_p, nstarts, lens = relayout_pairs(
+        cell_s, starts, width=width, height=height, cfg=cfg
+    )
 
     # ONE gather from the static table into the aligned per-tile layout —
     # the only per-frame touch of row data

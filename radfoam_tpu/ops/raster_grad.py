@@ -1,0 +1,597 @@
+"""Differentiable tile rasterizer: the training-speed render engine.
+
+The walk tracer (ops/trace.py) is the exact-parity gradient engine, but its
+serially-dependent gather chain caps a 1M-ray train step near ~9 s on a
+v5e. This module makes the tile rasterizer (ops/raster.py) differentiable
+so training can run at raster speed, the way 3D Gaussian Splatting trains:
+render whole images (tiles of ONE camera per step), backprop through the
+per-tile composite with a reverse-sweep Pallas kernel, and let JAX autodiff
+carry the per-pair row gradients back through the bulk gather (scatter-add)
+and the row-table build to the point positions and attributes.
+
+Loss semantics match the walk exactly (reference src/tracing/pipeline.cu
+forward/backward, train.py:176-216):
+  * alpha compositing in front-to-back list order with the weight-threshold
+    transmittance gate,
+  * transmittance-quantile depth with the in-segment closed form
+    t = t_in + log(T/q)/sigma (pipeline.cu quantile extraction), including
+    the backward "current depth grad" accumulation (g_q / sigma summed over
+    later hits -> earlier segments' optical-depth grads),
+  * gradients w.r.t. positions flow through BOTH the cell's own plane
+    offsets and each neighbor's (the gather backward scatter-adds them).
+
+The one semantic difference from the walk is shared with the inference
+rasterizer: entries composite in the conservative front-to-back LIST order
+(no per-pixel reorder buffer), so rare local inversions of overlapping
+bounding spheres reorder adjacent intervals. 3DGS trains with exactly this
+class of approximation; tests bound the divergence. Additionally the
+per-segment optical depth is clamped at OD_CLAMP (=30, alpha saturated to
+1 - 9e-14) so the backward transmittance reconstruction T_i = T_{i+1}
+e^{od_i} (the 3DGS trick) stays in f32 range.
+
+Backward math (per pixel, entries i in list order, reverse sweep):
+  T_i = prod_{j<i} exp(-od_j),  w_i = [T_i > wt] T_i (1 - exp(-od_i))
+  dL/dc_i   = w_i g_rgb
+  dL/dod_i  = g_rgb . (T_{i+1} c_i - S_{i+1}) + g_alpha T_end - cdg_{i+1}
+  where S_{i+1} = sum_{j>i} w_j c_j (suffix color accumulator) and
+  cdg_{i+1} = sum_{j>i, q hit at j} g_q / sigma_j. The live set
+  {i : T_i > wt} is a prefix whose per-pixel length the forward kernel
+  records (n_live), which resolves the T>wt gate without re-walking.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radfoam_tpu.ops.raster import (
+    RasterConfig,
+    _grid_shape,
+    _mxu_transpose,
+    _pixel_dir_rows,
+    _sh_basis_rows,
+    _chunk_precompute,
+    bin_pairs,
+    build_row_table,
+    pack_raster_table,
+    relayout_pairs,
+    tiles_to_image,
+)
+
+OD_CLAMP = 30.0  # max per-segment optical depth (see module docstring)
+
+
+def _entry_interval(pre, e, dir_rows, degm):
+    """Entry e's per-plane quantities + interval (shared fwd/bwd math).
+
+    Returns (den (K, P), t (K, P), t_out (1, P), t_in (1, P)) with the
+    same degree-block skipping as the inference kernel — skipped blocks
+    hold only padding planes (v = 0, num = 0 -> t = NaN) which belong to
+    neither the entry nor the exit set. Backward plane selection compares
+    against these exact t values, so fwd/bwd see identical extremes.
+    """
+    vx, vy, vz, num, _sig, _key, _rgb = pre
+    dirx, diry, dirz = dir_rows
+    K = vx.shape[0]
+    P = dirx.shape[1]
+
+    den = vx[:, e : e + 1] * dirx + vy[:, e : e + 1] * diry \
+        + vz[:, e : e + 1] * dirz  # (K, P)
+    t = num[:, e : e + 1] / den
+
+    KB = 8
+    t_out = jnp.full((1, P), jnp.inf, jnp.float32)
+    t_in = jnp.zeros((1, P), jnp.float32)
+    for kb in range(0, K, KB):
+        def upd(to, ti, kb=kb):
+            d_b = den[kb : kb + KB]
+            t_b = t[kb : kb + KB]
+            to = jnp.minimum(
+                to,
+                jnp.min(jnp.where(d_b > 0.0, t_b, jnp.inf), axis=0,
+                        keepdims=True),
+            )
+            ti = jnp.maximum(
+                ti,
+                jnp.max(jnp.where(d_b < 0.0, t_b, 0.0), axis=0,
+                        keepdims=True),
+            )
+            return to, ti
+
+        t_out, t_in = jax.lax.cond(
+            kb < degm, upd, lambda to, ti: (to, ti), t_out, t_in
+        )
+    return den, t, t_out, t_in
+
+
+def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
+                                starts_ref, lens_ref, cam_ref, rows_hbm,
+                                qlv_ref, out_ref, nlive_ref, buf, sems):
+    """Forward: list-order composite + quantile depth + live count."""
+    TS = cfg.tile
+    P = TS * TS
+    CE = cfg.entry_chunk
+    wt = cfg.weight_threshold
+    deg_col = 3 + 3 * K + A + 4
+
+    t_id = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t_id], CE)
+    length = lens_ref[t_id]
+    tx = t_id % ntx
+    ty = t_id // ntx
+
+    origin = (cam_ref[0], cam_ref[1], cam_ref[2])
+    cam9 = tuple(cam_ref[i] for i in range(3, 12))
+    ds = cam_ref[12]
+
+    dir_rows = _pixel_dir_rows(tx, ty, cam9, ds,
+                               width=width, height=height, tile=TS)
+    basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
+    qlv = qlv_ref[0]  # (Q, P)
+
+    n_chunks = pl.cdiv(length, CE)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * CE, CE)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(state):
+        c, T, rr, rg, rb, qd, nlive = state
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(c % 2, c).wait()
+        chunk_t = _mxu_transpose(buf[c % 2].astype(jnp.float32))
+        pre = _chunk_precompute(chunk_t, origin, basis, K, A)
+        degm = jnp.max(chunk_t[deg_col : deg_col + 1])
+        sig_row = pre[4]  # (1, CE)
+        rgb = pre[6]
+
+        for e in range(CE):
+            _, _, t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
+            seg = jnp.where(
+                jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+            )
+            sig_e = sig_row[0:1, e : e + 1]
+            in_list = c * CE + e < length
+            live = in_list & (T > wt)
+            od = jnp.where(live, jnp.minimum(sig_e * seg, OD_CLAMP), 0.0)
+            decay = jnp.exp(-od)
+            T_next = T * decay
+            w = T - T_next
+            color_on = sig_e > 1e-6
+            c_r = jnp.where(color_on, rgb[0][e : e + 1], 0.0)
+            c_g = jnp.where(color_on, rgb[1][e : e + 1], 0.0)
+            c_b = jnp.where(color_on, rgb[2][e : e + 1], 0.0)
+            rr = rr + w * c_r
+            rg = rg + w * c_g
+            rb = rb + w * c_b
+            # quantile depth: T crosses level q inside this segment
+            # (trace.py:240-253 / reference pipeline.cu)
+            hit = live & (T >= qlv) & (T_next < qlv)  # (Q, P)
+            dq = t_in + jnp.log(T / qlv) / sig_e
+            qd = jnp.where(hit, dq, qd)
+            nlive = nlive + live.astype(jnp.float32)
+            T = T_next
+
+        return (c + 1, T, rr, rg, rb, qd, nlive)
+
+    def cond(state):
+        c, T = state[0], state[1]
+        return (c < n_chunks) & (jnp.max(T) > wt)
+
+    z = jnp.zeros((1, P), jnp.float32)
+    state0 = (jnp.int32(0), jnp.ones((1, P), jnp.float32), z, z, z,
+              jnp.full((Q, P), -1.0, jnp.float32), z)
+    state = jax.lax.while_loop(cond, body, state0)
+    c_f, T, rr, rg, rb, qd, nlive = state
+
+    @pl.when(c_f < n_chunks)
+    def _():
+        get_dma(c_f % 2, c_f).wait()
+
+    out_ref[0] = jnp.concatenate([rr, rg, rb, 1.0 - T, qd], axis=0)
+    nlive_ref[0] = nlive
+
+
+def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
+                                starts_ref, lens_ref, cam_ref, rows_hbm,
+                                qlv_ref, fwd_ref, g_ref, nlive_ref,
+                                drows_hbm, buf, sems, dbuf, osems):
+    """Backward: reverse sweep emitting per-pair row grads to HBM.
+
+    Every chunk in this tile's [start, start + cdiv(length, CE) * CE)
+    range is written (zeros for chunks past the live prefix), so drows
+    needs no host-side init inside tile ranges; the tail beyond the last
+    tile's range is masked by the caller.
+    """
+    TS = cfg.tile
+    P = TS * TS
+    CE = cfg.entry_chunk
+    deg_col = 3 + 3 * K + A + 4
+    D = (A - 1) // 3
+    base = 3 + 3 * K
+    Wt = base + A
+    Wrow = dbuf.shape[2]
+
+    t_id = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t_id], CE)
+    length = lens_ref[t_id]
+    tx = t_id % ntx
+    ty = t_id // ntx
+
+    origin = (cam_ref[0], cam_ref[1], cam_ref[2])
+    ox, oy, oz = origin
+    cam9 = tuple(cam_ref[i] for i in range(3, 12))
+    ds = cam_ref[12]
+
+    dir_rows = _pixel_dir_rows(tx, ty, cam9, ds,
+                               width=width, height=height, tile=TS)
+    dirx, diry, dirz = dir_rows
+    basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
+    qlv = qlv_ref[0]  # (Q, P)
+    ones_1p = dirx * 0.0 + 1.0  # (1, P)
+    dmat = jnp.concatenate([dirx, diry, dirz], axis=0)  # (3, P)
+
+    g_r = g_ref[0, 0:1]
+    g_g = g_ref[0, 1:2]
+    g_b = g_ref[0, 2:3]
+    g_a = g_ref[0, 3:4]
+    g_q = g_ref[0, 4 : 4 + Q]  # (Q, P)
+    T_end = 1.0 - fwd_ref[0, 3:4]
+    nlive = nlive_ref[0]  # (1, P)
+
+    n_ct = pl.cdiv(length, CE)  # chunks to WRITE (cover the list)
+    maxlive = jnp.max(nlive).astype(jnp.int32)
+    n_cl = pl.cdiv(jnp.minimum(maxlive, length), CE)  # chunks to COMPUTE
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(start + c * CE, CE)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma(slot, c):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            drows_hbm.at[pl.ds(start + c * CE, CE)],
+            osems.at[slot],
+        )
+
+    @pl.when(n_cl > 0)
+    def _():
+        get_dma((n_cl - 1) % 2, n_cl - 1).start()
+
+    def body(state):
+        (c, T_cur, S_r, S_g, S_b, cdg) = state
+        slot = c % 2
+
+        # a put issued two iterations ago reused this dbuf slot — drain it
+        @pl.when(c + 2 < n_ct)
+        def _():
+            put_dma(slot, c + 2).wait()
+
+        def zero_chunk():
+            dbuf[slot] = jnp.zeros((CE, Wrow), jnp.float32)
+            return (T_cur, S_r, S_g, S_b, cdg)
+
+        def live_chunk():
+            @pl.when(c - 1 >= 0)
+            def _():
+                get_dma((c - 1) % 2, c - 1).start()
+
+            get_dma(slot, c).wait()
+            chunk_t = _mxu_transpose(buf[slot].astype(jnp.float32))
+            pre = _chunk_precompute(chunk_t, origin, basis, K, A)
+            degm = jnp.max(chunk_t[deg_col : deg_col + 1])
+            vx, vy, vz, _num, sig_row, _key, rgb = pre
+            pxr = chunk_t[0:1] + chunk_t[Wt + 5 : Wt + 6]  # (1, CE)
+            pyr = chunk_t[1:2] + chunk_t[Wt + 6 : Wt + 7]
+            pzr = chunk_t[2:3] + chunk_t[Wt + 7 : Wt + 8]
+
+            T_c, Sr, Sg, Sb, cd = T_cur, S_r, S_g, S_b, cdg
+            dcol = jnp.zeros((Wrow, CE), jnp.float32)
+            for e in reversed(range(CE)):
+                den, t, t_out, t_in = _entry_interval(
+                    pre, e, dir_rows, degm
+                )
+                seg = jnp.where(
+                    jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0),
+                    0.0,
+                )
+                sig_e = sig_row[0:1, e : e + 1]
+                i_gl = c * CE + e
+                live = (i_gl < length) & (i_gl < nlive)
+                od = jnp.where(
+                    live, jnp.minimum(sig_e * seg, OD_CLAMP), 0.0
+                )
+                T_prev = T_c * jnp.exp(od)
+                w = T_prev - T_c
+                color_on = sig_e > 1e-6
+                c_r = jnp.where(color_on, rgb[0][e : e + 1], 0.0)
+                c_g = jnp.where(color_on, rgb[1][e : e + 1], 0.0)
+                c_b = jnp.where(color_on, rgb[2][e : e + 1], 0.0)
+
+                gdot = g_r * c_r + g_g * c_g + g_b * c_b
+                sdot = g_r * Sr + g_g * Sg + g_b * Sb
+                dod = jnp.where(
+                    live, gdot * T_c - sdot + g_a * T_end - cd, 0.0
+                )
+
+                # quantile-depth own terms (exact fwd hit reconstruction)
+                hit = live & (T_prev >= qlv) & (T_c < qlv)  # (Q, P)
+                g_hit = jnp.where(hit, g_q, 0.0)
+                g_hit_sum = jnp.sum(g_hit, axis=0, keepdims=True)
+                lnT = jnp.log(jnp.maximum(T_prev, 1e-30)) - jnp.log(qlv)
+                ds_q = -jnp.sum(g_hit * lnT, axis=0, keepdims=True) / (
+                    sig_e * sig_e + 1e-30
+                )
+
+                # od clamp: past the clamp the segment stops depending on
+                # sigma/seg (matches fwd exactly)
+                unclamped = (sig_e * seg) < OD_CLAMP
+                seg_on = live & unclamped & (seg > 0.0) \
+                    & jnp.isfinite(t_out)
+                dseg = jnp.where(seg_on, dod * sig_e, 0.0)
+                dt_out = dseg
+                dt_in = -dseg + jnp.where(t_in > 0.0, g_hit_sum, 0.0)
+
+                sel_out = (den > 0.0) & (t == t_out)
+                sel_in = (den < 0.0) & (t == t_in) & (t_in > 0.0)
+                dnum = jnp.where(sel_out, dt_out / den, 0.0) + jnp.where(
+                    sel_in, dt_in / den, 0.0
+                )  # (K, P)
+                dden = jnp.where(sel_out | sel_in, -dnum * t, 0.0)
+
+                # MXU lane reductions
+                s_dnum = jax.lax.dot_general(
+                    dnum, ones_1p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (K, 1)
+                s_dden = jax.lax.dot_general(
+                    dden, dmat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (K, 3)
+
+                px = pxr[0:1, e : e + 1]
+                py = pyr[0:1, e : e + 1]
+                pz = pzr[0:1, e : e + 1]
+                vxe = vx[:, e : e + 1]
+                vye = vy[:, e : e + 1]
+                vze = vz[:, e : e + 1]
+                dvx = s_dnum * ((px - ox) + vxe) + s_dden[:, 0:1]
+                dvy = s_dnum * ((py - oy) + vye) + s_dden[:, 1:2]
+                dvz = s_dnum * ((pz - oz) + vze) + s_dden[:, 2:3]
+                dpx = jnp.sum(s_dnum * vxe, axis=0, keepdims=True)
+                dpy = jnp.sum(s_dnum * vye, axis=0, keepdims=True)
+                dpz = jnp.sum(s_dnum * vze, axis=0, keepdims=True)
+
+                dsig = jax.lax.dot_general(
+                    jnp.where(live, dod * seg * unclamped, 0.0) + ds_q,
+                    ones_1p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, 1)
+
+                dcoef = [
+                    jax.lax.dot_general(
+                        basis,
+                        jnp.where(
+                            (rgb[ch][e : e + 1] > 0.0) & color_on,
+                            w * g, 0.0,
+                        ),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (D, 1)
+                    for ch, g in ((0, g_r), (1, g_g), (2, g_b))
+                ]
+
+                pad = Wrow - (Wt + 8)
+                col = jnp.concatenate(
+                    [dpx, dpy, dpz, dvx, dvy, dvz] + dcoef + [
+                        dsig,
+                        jnp.zeros((5, 1), jnp.float32),  # center/enorm/deg
+                        dpx, dpy, dpz,  # p_lo mirrors p_hi
+                        jnp.zeros((pad, 1), jnp.float32),
+                    ],
+                    axis=0,
+                )  # (Wrow, 1)
+                dcol = jax.lax.dynamic_update_slice(dcol, col, (0, e))
+
+                Sr = Sr + w * c_r
+                Sg = Sg + w * c_g
+                Sb = Sb + w * c_b
+                cd = cd + g_hit_sum / jnp.maximum(sig_e, 1e-30)
+                T_c = T_prev
+
+            dbuf[slot] = _mxu_transpose(dcol)
+            return (T_c, Sr, Sg, Sb, cd)
+
+        T_cur, S_r, S_g, S_b, cdg = jax.lax.cond(
+            c < n_cl, live_chunk, zero_chunk
+        )
+        put_dma(slot, c).start()
+        return (c - 1, T_cur, S_r, S_g, S_b, cdg)
+
+    def cond(state):
+        return state[0] >= 0
+
+    z = jnp.zeros((1, P), jnp.float32)
+    state0 = (n_ct - 1, T_end, z, z, z, z)
+    jax.lax.while_loop(cond, body, state0)
+
+    # drain the last (up to) two outstanding puts
+    @pl.when(n_ct > 1)
+    def _():
+        put_dma(1, 1).wait()
+
+    @pl.when(n_ct > 0)
+    def _():
+        put_dma(0, 0).wait()
+
+
+@lru_cache(maxsize=8)
+def _make_composite_train(width, height, cfg, K, A, Q):
+    """Build the custom-vjp composite for a static configuration."""
+    ntx, nty = _grid_shape(width, height, cfg.tile)
+    n_tiles = ntx * nty
+    P = cfg.tile * cfg.tile
+    interpret = cfg.interpret or jax.default_backend() == "cpu"
+
+    fwd_kernel = partial(_composite_train_fwd_kernel, cfg, K, A, Q,
+                         width, height, ntx)
+    bwd_kernel = partial(_composite_train_bwd_kernel, cfg, K, A, Q,
+                         width, height, ntx)
+
+    def run_fwd(rows, nstarts, lens, cam, qlv):
+        Wrow = rows.shape[1]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+                pl.BlockSpec(memory_space=pl.ANY),  # rows in HBM
+                pl.BlockSpec((1, Q, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # qlv
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 4 + Q, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, cfg.entry_chunk, Wrow), rows.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            fwd_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, 4 + Q, P), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
+            ],
+            interpret=interpret,
+        )(nstarts, lens, cam, rows, qlv)
+
+    def run_bwd(rows, nstarts, lens, cam, qlv, tiles, nlive, g_tiles):
+        Wrow = rows.shape[1]
+        Mp = rows.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+                pl.BlockSpec(memory_space=pl.ANY),  # rows in HBM
+                pl.BlockSpec((1, Q, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # qlv
+                pl.BlockSpec((1, 4 + Q, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # fwd tiles
+                pl.BlockSpec((1, 4 + Q, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # cotangent
+                pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # nlive
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # drows stay in HBM
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, cfg.entry_chunk, Wrow), rows.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, cfg.entry_chunk, Wrow), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        drows = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Mp, Wrow), jnp.float32),
+            ],
+            interpret=interpret,
+        )(nstarts, lens, cam, rows, qlv, tiles, g_tiles, nlive)[0]
+        # rows beyond the last tile's padded range belong to no tile and
+        # were never written — mask the uninitialized tail so the gather
+        # backward doesn't scatter garbage into cell 0
+        written = jax.lax.broadcasted_iota(
+            jnp.int32, (Mp, 1), 0
+        ) < nstarts[-1]
+        return jnp.where(written, drows, 0.0)
+
+    @jax.custom_vjp
+    def composite_train(rows, nstarts, lens, cam, qlv):
+        tiles, _ = run_fwd(rows, nstarts, lens, cam, qlv)
+        return tiles
+
+    def composite_fwd(rows, nstarts, lens, cam, qlv):
+        tiles, nlive = run_fwd(rows, nstarts, lens, cam, qlv)
+        return tiles, (rows, nstarts, lens, cam, qlv, tiles, nlive)
+
+    def composite_bwd(res, g_tiles):
+        rows, nstarts, lens, cam, qlv, tiles, nlive = res
+        drows = run_bwd(rows, nstarts, lens, cam, qlv, tiles, nlive,
+                        g_tiles)
+        zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return (drows.astype(rows.dtype), zero_i(nstarts), zero_i(lens),
+                jnp.zeros_like(cam), jnp.zeros_like(qlv))
+
+    composite_train.defvjp(composite_fwd, composite_bwd)
+    return composite_train
+
+
+def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
+                 up, fov, qlv_tiles, *, width, height, cfg):
+    """Differentiable full-frame raster render for training steps.
+
+    points (N, 3), attrs (N, A) ACTIVATED attributes, nbr_idx (N, K)
+    padded adjacency (static per triangulation), bb_min/bb_max (N, 3)
+    clamped cell bounds (culling/sort only — stop-gradiented), camera
+    basis + fov, qlv_tiles (n_tiles, Q, P) per-pixel transmittance
+    quantile levels (descending along Q to match train.py:176-180).
+
+    Returns ((H, W, 4 + Q) rgba + quantile-depth image, n_pairs).
+    Gradients flow to points (through own position, every neighbor
+    offset, and the hi/lo table split) and attrs; everything else is
+    non-differentiable selection.
+    """
+    A = attrs.shape[1]
+    K = nbr_idx.shape[1]
+    Q = qlv_tiles.shape[1]
+    sg = jax.lax.stop_gradient
+
+    rpacked = pack_raster_table(points, attrs, nbr_idx)
+    table = build_row_table(rpacked, sg(bb_min), sg(bb_max),
+                            sh_degree=cfg.sh_degree)
+
+    cell_s, _key, starts, n_pairs = bin_pairs(
+        sg(bb_min), sg(bb_max), sg(attrs[:, -1]), sg(pos), sg(fwd),
+        sg(rgt), sg(up), fov, width=width, height=height, cfg=cfg,
+    )
+    cell_p, nstarts, lens = relayout_pairs(
+        cell_s, starts, width=width, height=height, cfg=cfg
+    )
+    rows = jnp.take(table, sg(cell_p), axis=0)
+
+    ds = 1.0 / jnp.tan(fov * 0.5)
+    cam = jnp.concatenate(
+        [pos, fwd, rgt, up, jnp.reshape(ds, (1,)),
+         jnp.zeros((3,), jnp.float32)]
+    ).astype(jnp.float32)
+
+    comp = _make_composite_train(width, height, cfg, K, A, Q)
+    tiles = comp(rows, nstarts, lens, sg(cam), sg(qlv_tiles))
+    img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
+    return img, n_pairs

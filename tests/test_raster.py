@@ -217,3 +217,32 @@ def test_cell_bounds_conservative():
         c = cc[ok]
         assert np.all(c >= bb_min[i] - 1e-4)
         assert np.all(c <= bb_max[i] + 1e-4)
+
+
+def test_f16_row_table_matches_f32():
+    """f16 rows (hi/lo position split) stay within fp16 attr rounding of
+    the f32 path — the bench protocol's fp16 attribute mode."""
+    pts, attrs, table, bounds = build_scene(n_points=1200, saturate=True)
+    W = H = 32
+    cam, _ = cam_setup(pts, W, H)
+    cfg = R.RasterConfig(sh_degree=2, weight_threshold=0.001, tile=16,
+                         max_pairs=1 << 16, interpret=True,
+                         table_k=int(table.shape[1]), entry_chunk=32)
+    imgs = {}
+    for dtype in (jnp.float32, jnp.float16):
+        rtable = R.build_row_table(
+            R.pack_raster_table(
+                jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+            ),
+            jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+            dtype=dtype,
+        )
+        img, n_pairs, forced = R.render_frame(
+            rtable, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+            jnp.asarray(attrs[:, -1]),
+            jnp.asarray(cam.position), jnp.asarray(cam.forward),
+            jnp.asarray(cam.right), jnp.asarray(cam.up),
+            jnp.float32(cam.fov), width=W, height=H, cfg=cfg,
+        )
+        imgs[jnp.dtype(dtype).name] = np.asarray(img)
+    assert psnr(imgs["float32"], imgs["float16"]) > 40.0

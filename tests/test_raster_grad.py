@@ -1,0 +1,199 @@
+"""Differentiable rasterizer (ops/raster_grad.py) vs a jnp reference.
+
+The reference below re-implements the trainable composite (list order,
+weight-threshold gate, OD clamp, quantile depth) in pure differentiable
+jnp, so jax.grad through it is ground truth for the custom-vjp Pallas
+pair. Both run through the SAME binning/relayout/gather/table-build code,
+isolating the kernel math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radfoam_tpu.ops import raster as R
+from radfoam_tpu.ops import raster_grad as RG
+from radfoam_tpu.ops.camera import look_at
+
+from tests.test_raster import build_scene, cam_setup
+
+
+def _ref_render(points, attrs, nbr_idx, bb_min, bb_max, cam, qlv_tiles,
+                *, width, height, cfg):
+    """Pure-jnp differentiable replica of raster_grad.render_train."""
+    A = attrs.shape[1]
+    K = nbr_idx.shape[1]
+    Q = qlv_tiles.shape[1]
+    sg = jax.lax.stop_gradient
+    TS = cfg.tile
+    P = TS * TS
+    ntx, nty = R._grid_shape(width, height, TS)
+    wt = cfg.weight_threshold
+
+    rpacked = R.pack_raster_table(points, attrs, nbr_idx)
+    table = R.build_row_table(rpacked, sg(bb_min), sg(bb_max),
+                              sh_degree=cfg.sh_degree)
+    cell_s, _k, starts, n_pairs = R.bin_pairs(
+        sg(bb_min), sg(bb_max), sg(attrs[:, -1]),
+        jnp.asarray(cam.position), jnp.asarray(cam.forward),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        width=width, height=height, cfg=cfg,
+    )
+    assert int(n_pairs) <= cfg.max_pairs
+    cell_p, nstarts, lens = R.relayout_pairs(
+        cell_s, starts, width=width, height=height, cfg=cfg
+    )
+    rows = jnp.take(table, sg(cell_p), axis=0)
+
+    base = 3 + 3 * K
+    Wt = base + A
+    D = (A - 1) // 3
+    ds = jnp.float32(1.0 / np.tan(cam.fov * 0.5))
+    origin = tuple(jnp.float32(v) for v in np.asarray(cam.position))
+    cam9 = tuple(
+        jnp.float32(v)
+        for v in (*np.asarray(cam.forward), *np.asarray(cam.right),
+                  *np.asarray(cam.up))
+    )
+    lens_np = np.asarray(lens)
+    nstarts_np = np.asarray(nstarts)
+
+    tiles = []
+    for t in range(ntx * nty):
+        dir_rows = R._pixel_dir_rows(
+            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9, ds,
+            width=width, height=height, tile=TS,
+        )
+        dirx, diry, dirz = dir_rows
+        basis = R._sh_basis_rows(*dir_rows, cfg.sh_degree)
+        qlv = qlv_tiles[t]  # (Q, P)
+        T = jnp.ones((1, P), jnp.float32)
+        rr = rg = rb = jnp.zeros((1, P), jnp.float32)
+        qd = jnp.full((Q, P), -1.0, jnp.float32)
+        ox, oy, oz = origin
+        for i in range(int(lens_np[t])):
+            col = rows[int(nstarts_np[t]) + i][:, None]  # (Wrow, 1)
+            px = col[0, 0] + col[Wt + 5, 0]
+            py = col[1, 0] + col[Wt + 6, 0]
+            pz = col[2, 0] + col[Wt + 7, 0]
+            vx = col[3 : 3 + K]
+            vy = col[3 + K : 3 + 2 * K]
+            vz = col[3 + 2 * K : 3 + 3 * K]
+            sig = col[base + 3 * D, 0]
+            num = (
+                vx * (px - ox) + vy * (py - oy) + vz * (pz - oz)
+                + 0.5 * (vx * vx + vy * vy + vz * vz)
+            )
+            den = vx * dirx + vy * diry + vz * dirz
+            # safe denominator: padding planes (v = 0 -> den = 0) divide
+            # 0/0 and poison the VJP with 0 * inf = NaN even though the
+            # where-branches exclude them
+            den_s = jnp.where(den == 0.0, 1.0, den)
+            tt = num / den_s
+            t_out = jnp.min(jnp.where(den > 0.0, tt, jnp.inf), axis=0,
+                            keepdims=True)
+            t_in = jnp.maximum(
+                jnp.max(jnp.where(den < 0.0, tt, 0.0), axis=0,
+                        keepdims=True),
+                0.0,
+            )
+            seg = jnp.where(
+                jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+            )
+            live = T > wt
+            od = jnp.where(live, jnp.minimum(sig * seg, RG.OD_CLAMP), 0.0)
+            T_next = T * jnp.exp(-od)
+            w = T - T_next
+            coeffs = col[base : base + 3 * D].reshape(3, D)
+            rgb = jnp.maximum(
+                0.5 + coeffs @ basis, 0.0
+            )  # (3, P)
+            con = sig > 1e-6
+            rr = rr + w * jnp.where(con, rgb[0:1], 0.0)
+            rg = rg + w * jnp.where(con, rgb[1:2], 0.0)
+            rb = rb + w * jnp.where(con, rgb[2:3], 0.0)
+            hit = live & (T >= qlv) & (T_next < qlv)
+            dq = t_in + jnp.log(T / qlv) / sig
+            qd = jnp.where(hit, dq, qd)
+            T = T_next
+        tiles.append(jnp.concatenate([rr, rg, rb, 1.0 - T, qd], axis=0))
+    tiles = jnp.stack(tiles)
+    return R.tiles_to_image(tiles, width=width, height=height, tile=TS)
+
+
+def _setup(n_points=700, sh_degree=1, W=32, H=32, Q=2, seed=3):
+    pts, attrs, table, bounds = build_scene(
+        n_points=n_points, sh_degree=sh_degree, seed=seed, saturate=False
+    )
+    cam, _ = cam_setup(pts, W, H)
+    cfg = R.RasterConfig(sh_degree=sh_degree, weight_threshold=0.01,
+                         tile=16, max_pairs=1 << 16, interpret=True,
+                         table_k=int(table.shape[1]))
+    ntx, nty = R._grid_shape(W, H, cfg.tile)
+    rng = np.random.default_rng(0)
+    qlv = -np.sort(
+        -rng.uniform(0.02, 0.98, (ntx * nty, Q, cfg.tile * cfg.tile)),
+        axis=1,
+    ).astype(np.float32)
+    return pts, attrs, table, bounds, cam, cfg, jnp.asarray(qlv)
+
+
+def test_train_forward_matches_reference():
+    pts, attrs, table, bounds, cam, cfg, qlv = _setup()
+    W = H = 32
+    args = (jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+            jnp.asarray(bounds[0]), jnp.asarray(bounds[1]))
+    ref = _ref_render(*args, cam, qlv, width=W, height=H, cfg=cfg)
+    img, n_pairs = RG.render_train(
+        *args, jnp.asarray(cam.position), jnp.asarray(cam.forward),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        qlv, width=W, height=H, cfg=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_train_gradients_match_reference():
+    pts, attrs, table, bounds, cam, cfg, qlv = _setup()
+    W = H = 32
+    rng = np.random.default_rng(1)
+    # random cotangent over all channels; qdepth cotangent only where the
+    # quantile was reached (qd sentinel -1 is constant)
+    wimg = jnp.asarray(
+        rng.standard_normal((H, W, 4 + qlv.shape[1])).astype(np.float32)
+    )
+    targs = (jnp.asarray(table), jnp.asarray(bounds[0]),
+             jnp.asarray(bounds[1]))
+
+    def loss_kernel(p, a):
+        img, _ = RG.render_train(
+            p, a, *targs, jnp.asarray(cam.position),
+            jnp.asarray(cam.forward), jnp.asarray(cam.right),
+            jnp.asarray(cam.up), jnp.float32(cam.fov), qlv,
+            width=W, height=H, cfg=cfg,
+        )
+        return jnp.sum(img * wimg)
+
+    def loss_ref(p, a):
+        img = _ref_render(p, a, *targs, cam, qlv, width=W, height=H,
+                          cfg=cfg)
+        return jnp.sum(img * wimg)
+
+    p0 = jnp.asarray(pts)
+    a0 = jnp.asarray(attrs)
+    gp_k, ga_k = jax.grad(loss_kernel, argnums=(0, 1))(p0, a0)
+    gp_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(p0, a0)
+
+    # normalize tolerance by gradient scale
+    sp = float(jnp.max(jnp.abs(gp_r))) + 1e-8
+    sa = float(jnp.max(jnp.abs(ga_r))) + 1e-8
+    np.testing.assert_allclose(
+        np.asarray(gp_k) / sp, np.asarray(gp_r) / sp, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga_k) / sa, np.asarray(ga_r) / sa, atol=2e-4
+    )
+    # gradients are non-trivial
+    assert float(jnp.linalg.norm(gp_r)) > 0
+    assert float(jnp.linalg.norm(ga_r)) > 0
