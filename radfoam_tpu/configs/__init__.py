@@ -70,6 +70,7 @@ class PipelineParams(ParamGroup):
         ("densify_factor", 1.15),
         ("white_background", True),
         ("quantile_weight", 1e-4),
+        ("train_engine", "walk"),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

@@ -112,6 +112,24 @@ class DataHandler:
         self.train_rgbs = self.train_packed[..., 6:9]
         self.train_alphas = self.train_packed[..., 9:10]
 
+    def raster_camera(self, i):
+        """(basis (4, 3) [pos fwd rgt up], intrin (4,)) for view i in the
+        raster engines' affine camera model (raster.dataset_intrin)."""
+        from radfoam_tpu.ops.raster import dataset_intrin
+
+        c2w = self.c2ws[i]
+        w, h = self.img_wh
+        basis = np.stack(
+            [c2w[:3, 3], c2w[:3, 2], c2w[:3, 0], c2w[:3, 1]]
+        ).astype(np.float32)
+        intrin = np.array(
+            dataset_intrin(
+                float(self.fx), float(self.fy), w / 2.0, h / 2.0
+            ),
+            np.float32,
+        )
+        return basis, intrin
+
     def get_iter(self):
         from radfoam_tpu.data.fetcher import BatchFetcher
 

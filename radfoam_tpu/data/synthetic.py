@@ -49,7 +49,7 @@ def make_ground_truth_scene(n_points=400, sh_degree=1, seed=0):
 
 
 def render_views(pts, attrs, table, sh_degree, n_views=5, wh=(48, 48),
-                 radius=3.5, z=1.2):
+                 radius=3.5, z=1.2, return_cams=False):
     """Render an orbit of GT views with the exact tracer.
 
     Returns (rays (V,H,W,6), rgbs (V,H,W,3) white-composited,
@@ -62,7 +62,7 @@ def render_views(pts, attrs, table, sh_degree, n_views=5, wh=(48, 48),
 
     w, h = wh
     cfg = TraceConfig(sh_degree=sh_degree, num_quantiles=0)
-    all_rays, all_rgbs, all_alphas = [], [], []
+    all_rays, all_rgbs, all_alphas, cams = [], [], [], []
     for v in range(n_views):
         ang = 2 * np.pi * v / n_views
         eye = np.array(
@@ -80,21 +80,23 @@ def render_views(pts, attrs, table, sh_degree, n_views=5, wh=(48, 48),
         rgba = np.asarray(out.rgba, np.float32)
         alpha = np.clip(rgba[:, 3:4], 0, 1)
         rgb = np.clip(rgba[:, :3] + (1 - alpha), 0, 1)
+        cams.append(cam)
         all_rays.append(rays.reshape(h, w, 6))
         all_rgbs.append(rgb.reshape(h, w, 3))
         all_alphas.append(alpha.reshape(h, w, 1))
-    return (
+    out3 = (
         np.stack(all_rays).astype(np.float32),
         np.stack(all_rgbs).astype(np.float32),
         np.stack(all_alphas).astype(np.float32),
     )
+    return out3 + (cams,) if return_cams else out3
 
 
 class SyntheticDataHandler:
     """DataHandler-compatible wrapper around in-memory view arrays."""
 
     def __init__(self, rays, rgbs, alphas=None, rays_per_batch=0,
-                 points3D=None, points3D_colors=None):
+                 points3D=None, points3D_colors=None, cams=None):
         self.rays = np.asarray(rays, np.float32)
         self.rgbs = np.asarray(rgbs, np.float32)
         if alphas is None:
@@ -107,6 +109,7 @@ class SyntheticDataHandler:
         self.points3D = points3D
         self.points3D_colors = points3D_colors
         self.batch_size = rays_per_batch if rays_per_batch else V * H * W
+        self.cams = cams
         self.viewer_pos = self.rays[0, 0, 0, :3]
         self.viewer_forward = self.rays[0, H // 2, W // 2, 3:]
         self.viewer_up = np.array([0, 0, 1], np.float32)
@@ -114,6 +117,21 @@ class SyntheticDataHandler:
 
     def reload(self, split=None, downsample=None):
         pass  # data lives in memory; nothing to reload
+
+    def raster_camera(self, i):
+        """Raster camera for view i (cast_rays fov convention)."""
+        from radfoam_tpu.ops.raster import fov_intrin
+
+        cam = self.cams[i]
+        w, h = self.img_wh
+        basis = np.stack(
+            [cam.position, cam.forward, cam.right, cam.up]
+        ).astype(np.float32)
+        intrin = np.array(
+            [float(v) for v in fov_intrin(cam.fov, width=w, height=h)],
+            np.float32,
+        )
+        return basis, intrin
 
     def get_iter(self):
         V, H, W = self.rays.shape[:3]

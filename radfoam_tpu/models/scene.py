@@ -89,6 +89,7 @@ class RadFoamScene:
         self.aabb_tree = None
         self.optimizer_state = None
         self._last_built = None
+        self._bounds_cache = None
         self._tri_future = None
         self._tri_snapshot = None
         self._tri_executor = None
@@ -366,6 +367,30 @@ class RadFoamScene:
         self.aabb_tree = build_aabb_tree(
             self.params["primal_points"], n_active=self.n_points
         )
+        self._bounds_cache = None  # raster bounds follow the triangulation
+
+    def raster_bounds(self):
+        """Capacity-padded clamped cell AABBs for the raster engines.
+
+        Computed lazily from the current triangulation (native O(T) pass +
+        cellbound.clamp_bounds) and cached until the next triangulation
+        install; padding rows collapse to zero extent so bin_pairs culls
+        them. Returns (bb_min, bb_max) device arrays of shape
+        (capacity, 3)."""
+        if self._bounds_cache is None:
+            from radfoam_tpu.ops.cellbound import clamp_bounds
+
+            pts = np.asarray(self.params["primal_points"][: self.n_points])
+            bb_min, bb_max, _ = self.triangulation.cell_bounds(pts)
+            bb_min, bb_max, _ = clamp_bounds(pts, bb_min, bb_max)
+            pad_min = np.zeros((self.capacity, 3), np.float32)
+            pad_max = np.zeros((self.capacity, 3), np.float32)
+            pad_min[: self.n_points] = bb_min
+            pad_max[: self.n_points] = bb_max
+            self._bounds_cache = (
+                jax.device_put(pad_min), jax.device_put(pad_max)
+            )
+        return self._bounds_cache
 
     def permute_points(self, permutation):
         """Apply a sorting permutation to all per-point state including Adam

@@ -100,13 +100,14 @@ def _grid_shape(width, height, tile):
 # binning: cells -> sorted (tile, cell) pairs
 
 
-def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, fov,
+def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
               *, width, height, cfg):
     """Expand visible cells into depth-sorted per-tile cell lists.
 
     bb_min/bb_max: (N, 3) world-space AABBs of each cell's finite Voronoi
     extent (ops/cellbound.cell_bounds). Padding rows must collapse to a
-    point (zero extent).
+    point (zero extent). intrin = (ax, bx, ay, by) affine pixel
+    intrinsics (fov_intrin / dataset_intrin).
 
     Returns (sorted_cell (M,) int32, sorted_key (M,) f32,
     tile_starts (n_tiles+1,) int32, n_pairs () int32). Pairs beyond
@@ -118,8 +119,7 @@ def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, fov,
     n_tiles = ntx * nty
     M = cfg.max_pairs
     N = bb_min.shape[0]
-    aspect = width / height
-    ds = 1.0 / jnp.tan(fov * 0.5)
+    ax, bx, ay, by = intrin
 
     center = 0.5 * (bb_min + bb_max)
     ext = 0.5 * (bb_max - bb_min)  # half-extents, world axes
@@ -149,16 +149,21 @@ def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, fov,
     z_hi = jnp.maximum(cz + ez, znear)
     xm, xp = cx - ex, cx + ex
     ym, yp = cy - ey, cy + ey
-    u_min = ds * jnp.minimum(xm / z_lo, xm / z_hi)
-    u_max = ds * jnp.maximum(xp / z_lo, xp / z_hi)
-    v_min = ds * jnp.minimum(ym / z_lo, ym / z_hi)
-    v_max = ds * jnp.maximum(yp / z_lo, yp / z_hi)
+    # camera-plane slopes s = X/Z, Y/Z; a point at (X, Y, Z) projects to
+    # pixel x' = (X/Z - bx)/ax, y' = (Y/Z - by)/ay (see _pixel_dir_rows)
+    u_min = jnp.minimum(xm / z_lo, xm / z_hi)
+    u_max = jnp.maximum(xp / z_lo, xp / z_hi)
+    v_min = jnp.minimum(ym / z_lo, ym / z_hi)
+    v_max = jnp.maximum(yp / z_lo, yp / z_hi)
 
-    # pixel coords (cast_rays convention: u = (2 x/W - 1) aspect, v = 1-2 y/H)
-    px_min = (u_min / aspect + 1.0) * 0.5 * width
-    px_max = (u_max / aspect + 1.0) * 0.5 * width
-    py_min = (1.0 - v_max) * 0.5 * height
-    py_max = (1.0 - v_min) * 0.5 * height
+    pxa = (u_min - bx) / ax
+    pxb = (u_max - bx) / ax
+    px_min = jnp.minimum(pxa, pxb)
+    px_max = jnp.maximum(pxa, pxb)
+    pya = (v_min - by) / ay
+    pyb = (v_max - by) / ay
+    py_min = jnp.minimum(pya, pyb)
+    py_max = jnp.maximum(pya, pyb)
 
     visible &= (px_max >= 0.0) & (px_min <= width)
     visible &= (py_max >= 0.0) & (py_min <= height)
@@ -288,25 +293,56 @@ def _sh_basis_rows(x, y, z, degree):
     return jnp.concatenate(rows, axis=0)
 
 
-def _pixel_dir_rows(tx, ty, cam9, ds, *, width, height, tile):
-    """Normalized pinhole ray direction components, each (1, P).
+def fov_intrin(fov, *, width, height):
+    """Affine pixel->direction intrinsics for the reference fov model.
 
-    Pixel convention matches ops/camera.cast_rays exactly.
+    The generalized camera is dir = fwd + (ax x + bx) rgt + (ay y + by) up
+    (normalized). cast_rays' pinhole dir = ds fwd + u rgt + v up with
+    u = (2x/W - 1) aspect, v = 1 - 2y/H, ds = 1/tan(fov/2) is the same
+    direction scaled by 1/ds. Dataset cameras (fx, fy, cx, cy with
+    half-pixel centers and y-down axes) map through dataset_intrin.
+    """
+    aspect = width / height
+    ds = 1.0 / jnp.tan(fov * 0.5)
+    ax = 2.0 * aspect / (width * ds)
+    bx = -aspect / ds
+    ay = -2.0 / (height * ds)
+    by = 1.0 / ds
+    return ax, bx, ay, by
+
+
+def dataset_intrin(fx, fy, cx, cy):
+    """Intrinsics for loader-convention cameras (data/blender.py:25-43):
+    dir_cam = ((x + .5 - cx)/fx, (y + .5 - cy)/fy, 1) with rgt/up/fwd =
+    c2w columns 0/1/2 (up points DOWN in world; the positive ay absorbs
+    it)."""
+    ax = 1.0 / fx
+    bx = (0.5 - cx) / fx
+    ay = 1.0 / fy
+    by = (0.5 - cy) / fy
+    return ax, bx, ay, by
+
+
+def _pixel_dir_rows(tx, ty, cam9, intrin, *, width, height, tile):
+    """Normalized ray direction components, each (1, P).
+
+    intrin = (ax, bx, ay, by): dir = fwd + (ax x + bx) rgt +
+    (ay y + by) up over integer pixel coords — expresses both the
+    reference fov convention (fov_intrin) and dataset fx/fy/cx/cy
+    cameras (dataset_intrin) exactly.
     """
     TS = tile
     P = TS * TS
     fx, fy, fz, rx, ry, rz, ux, uy, uz = cam9
-    aspect = width / height
+    ax, bx, ay, by = intrin
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)  # row-major pixel
     ii = idx % TS  # pixel col within tile
     jj = idx // TS  # pixel row within tile
-    px = (tx * TS + ii).astype(jnp.float32)
-    py = (ty * TS + jj).astype(jnp.float32)
-    u = ((2.0 / width) * px - 1.0) * aspect
-    v = 1.0 - (2.0 / height) * py
-    dx = ds * fx + u * rx + v * ux
-    dy = ds * fy + u * ry + v * uy
-    dz = ds * fz + u * rz + v * uz
+    u = ax * (tx * TS + ii).astype(jnp.float32) + bx
+    v = ay * (ty * TS + jj).astype(jnp.float32) + by
+    dx = fx + u * rx + v * ux
+    dy = fy + u * ry + v * uy
+    dz = fz + u * rz + v * uz
     inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     return dx * inv, dy * inv, dz * inv
 
@@ -631,9 +667,9 @@ def _composite_kernel(cfg, K, A, width, height, ntx,
 
     origin = (cam_ref[0], cam_ref[1], cam_ref[2])
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
-    ds = cam_ref[12]
+    intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    dir_rows = _pixel_dir_rows(tx, ty, cam9, ds,
+    dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
                                width=width, height=height, tile=TS)
     basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
 
@@ -763,8 +799,8 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
 # jnp reference composite (tests; python loop over tiles)
 
 
-def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up, ds,
-                        *, width, height, cfg, K, A):
+def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up,
+                        intrin, *, width, height, cfg, K, A):
     """Pure-jnp per-tile composite using the exact same helper math as the
     Pallas kernel (python loop over tiles and entries). Test-only.
 
@@ -790,7 +826,8 @@ def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up, ds,
     for t in range(ntx * nty):
         s, e = int(starts_np[t]), int(starts_np[t + 1])
         dir_rows = _pixel_dir_rows(
-            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9, jnp.float32(ds),
+            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9,
+            tuple(jnp.float32(v) for v in intrin),
             width=width, height=height, tile=TS,
         )
         basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
@@ -959,8 +996,9 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
             f"rows_table width {Wt} inconsistent with table_k={K}"
         )
 
+    intrin = fov_intrin(fov, width=width, height=height)
     cell_s, key_cell, starts, n_pairs = bin_pairs(
-        bb_min, bb_max, density, pos, fwd, rgt, up, fov,
+        bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
         width=width, height=height, cfg=cfg,
     )
 
@@ -971,10 +1009,8 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
     # ONE gather from the static table into the aligned per-tile layout —
     # the only per-frame touch of row data
     rows = jnp.take(rows_table, cell_p, axis=0)
-    ds = 1.0 / jnp.tan(fov * 0.5)
     cam = jnp.concatenate(
-        [pos, fwd, rgt, up, jnp.reshape(ds, (1,)),
-         jnp.zeros((3,), jnp.float32)]
+        [pos, fwd, rgt, up] + [jnp.reshape(v, (1,)) for v in intrin]
     ).astype(jnp.float32)
     tiles, forced = composite_pallas(
         rows, nstarts, lens, cam,

@@ -125,9 +125,9 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
 
     origin = (cam_ref[0], cam_ref[1], cam_ref[2])
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
-    ds = cam_ref[12]
+    intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    dir_rows = _pixel_dir_rows(tx, ty, cam9, ds,
+    dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
                                width=width, height=height, tile=TS)
     basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
     qlv = qlv_ref[0]  # (Q, P)
@@ -235,9 +235,9 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
     origin = (cam_ref[0], cam_ref[1], cam_ref[2])
     ox, oy, oz = origin
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
-    ds = cam_ref[12]
+    intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    dir_rows = _pixel_dir_rows(tx, ty, cam9, ds,
+    dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
                                width=width, height=height, tile=TS)
     dirx, diry, dirz = dir_rows
     basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
@@ -553,13 +553,14 @@ def _make_composite_train(width, height, cfg, K, A, Q):
 
 
 def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
-                 up, fov, qlv_tiles, *, width, height, cfg):
+                 up, intrin, qlv_tiles, *, width, height, cfg):
     """Differentiable full-frame raster render for training steps.
 
     points (N, 3), attrs (N, A) ACTIVATED attributes, nbr_idx (N, K)
     padded adjacency (static per triangulation), bb_min/bb_max (N, 3)
     clamped cell bounds (culling/sort only — stop-gradiented), camera
-    basis + fov, qlv_tiles (n_tiles, Q, P) per-pixel transmittance
+    basis + intrin (raster.fov_intrin / dataset_intrin 4-tuple),
+    qlv_tiles (n_tiles, Q, P) per-pixel transmittance
     quantile levels (descending along Q to match train.py:176-180).
 
     Returns ((H, W, 4 + Q) rgba + quantile-depth image, n_pairs).
@@ -578,17 +579,16 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
 
     cell_s, _key, starts, n_pairs = bin_pairs(
         sg(bb_min), sg(bb_max), sg(attrs[:, -1]), sg(pos), sg(fwd),
-        sg(rgt), sg(up), fov, width=width, height=height, cfg=cfg,
+        sg(rgt), sg(up), intrin, width=width, height=height, cfg=cfg,
     )
     cell_p, nstarts, lens = relayout_pairs(
         cell_s, starts, width=width, height=height, cfg=cfg
     )
     rows = jnp.take(table, sg(cell_p), axis=0)
 
-    ds = 1.0 / jnp.tan(fov * 0.5)
     cam = jnp.concatenate(
-        [pos, fwd, rgt, up, jnp.reshape(ds, (1,)),
-         jnp.zeros((3,), jnp.float32)]
+        [pos, fwd, rgt, up]
+        + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
     ).astype(jnp.float32)
 
     comp = _make_composite_train(width, height, cfg, K, A, Q)

@@ -104,6 +104,46 @@ def collect_error_map(model, step_cfg, data_handler, downsample=2, rng=None):
     return np.asarray(err), np.asarray(contrib)
 
 
+def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
+                 key):
+    """One raster-engine training iteration: a random camera's full image
+    through the differentiable rasterizer (train/raster_step.py)."""
+    from radfoam_tpu.ops.raster import RasterConfig
+    from radfoam_tpu.train.raster_step import (
+        RasterStepConfig,
+        make_raster_train_step,
+    )
+
+    i_cam = int(cam_rng.integers(handler.rgbs.shape[0]))
+    gt_rgb = jnp.asarray(handler.rgbs[i_cam])
+    gt_alpha = jnp.asarray(
+        handler.alphas[i_cam].reshape(*handler.rgbs.shape[1:3], 1)
+    )
+    Wd, Hd = int(handler.img_wh[0]), int(handler.img_wh[1])
+    basis_np, intrin_np = handler.raster_camera(i_cam)
+    cam_basis = jnp.asarray(basis_np)
+    intrin = jnp.asarray(intrin_np)
+    bb_min, bb_max = model.raster_bounds()
+    cap = int(min(1 << 22, max(1 << 18, 8 * model.capacity)))
+    rcfg = RasterConfig(
+        sh_degree=model.sh_degree, weight_threshold=1e-3, tile=16,
+        max_pairs=cap, alpha_cull=0.0, table_k=int(model.pad_degree),
+        reorder_window=0,
+    )
+    rstep = make_raster_train_step(
+        RasterStepConfig(
+            rcfg, model.activation_scale, model.attr_dtype,
+            pipeline_args.white_background, Wd, Hd,
+        )
+    )
+    params, opt_state, metrics = rstep(
+        model.params, model.optimizer_state, model.nbr_idx, bb_min,
+        bb_max, cam_basis, intrin, gt_rgb, gt_alpha, lrs, w_depth, key,
+    )
+    metrics["pair_cap"] = cap  # checked at the periodic sync points
+    return params, opt_state, metrics
+
+
 def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
           data_handler_cls=None, writer=None, resume_from=None,
           checkpoint_every=0, async_triangulation=True):
@@ -174,7 +214,16 @@ def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
     )
     step_fn = make_train_step(step_cfg)
 
-    data_iterator = train_data_handler.get_iter()
+    # train_engine=raster runs each iteration as one camera's full image
+    # through the differentiable tile rasterizer (3DGS-style SGD) instead
+    # of the reference's mixed-image ray batches — ~10x step throughput on
+    # TPU. Eval, error maps, and the parity surface stay on the walk.
+    engine = getattr(pipeline_args, "train_engine", "walk")
+    cam_rng = np.random.default_rng(23)
+
+    data_iterator = (
+        train_data_handler.get_iter() if engine == "walk" else None
+    )
 
     triangulation_update_period = 1
     iters_since_update = 1
@@ -243,34 +292,50 @@ def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
                 train_data_handler.reload(
                     split="train", downsample=downsample
                 )
-                data_iterator = train_data_handler.get_iter()
+                if engine == "walk":
+                    data_iterator = train_data_handler.get_iter()
                 cam_starts = camera_start_points(model, train_data_handler)
-
-            rays, rgbs, alphas, img_idx = next(data_iterator)
-            batch = jnp.concatenate(
-                [
-                    jnp.reshape(rays, (-1, 6)),
-                    jnp.reshape(rgbs, (-1, 3)),
-                    jnp.reshape(alphas, (-1, 1)),
-                    jnp.reshape(img_idx, (-1, 1)),
-                ],
-                axis=-1,
-            )
 
             key, sub = jax.random.split(key)
             lrs = model.learning_rates(i)
             w_depth = pipeline_args.quantile_weight * min(
                 2 * i / pipeline_args.iterations, 1
             )
-            model.params, model.optimizer_state, metrics = step_fn(
-                model.params, model.optimizer_state, model.nbr_idx,
-                cam_starts, batch, lrs, w_depth, sub,
-            )
+            if engine == "raster":
+                model.params, model.optimizer_state, metrics = (
+                    _raster_step(
+                        model, pipeline_args, train_data_handler,
+                        cam_rng, lrs, w_depth, sub,
+                    )
+                )
+            else:
+                rays, rgbs, alphas, img_idx = next(data_iterator)
+                batch = jnp.concatenate(
+                    [
+                        jnp.reshape(rays, (-1, 6)),
+                        jnp.reshape(rgbs, (-1, 3)),
+                        jnp.reshape(alphas, (-1, 1)),
+                        jnp.reshape(img_idx, (-1, 1)),
+                    ],
+                    axis=-1,
+                )
+                model.params, model.optimizer_state, metrics = step_fn(
+                    model.params, model.optimizer_state, model.nbr_idx,
+                    cam_starts, batch, lrs, w_depth, sub,
+                )
 
             if i % 10 == 9:
                 bar.set_postfix(
                     color_loss=f"{float(metrics['color_loss']):.5f}"
                 )
+                if "n_pairs" in metrics and (
+                    int(metrics["n_pairs"]) > metrics["pair_cap"]
+                ):
+                    print(
+                        f"warning: raster pair capacity overflow "
+                        f"({int(metrics['n_pairs'])} > "
+                        f"{metrics['pair_cap']}), image truncated"
+                    )
 
             if i % 100 == 99 and writer is not None:
                 writer.add_scalar(

@@ -1,0 +1,111 @@
+"""Raster-engine training step: one camera's full image per iteration.
+
+The walk step (train/step.py) reproduces the reference's random-ray SGD
+exactly but is bound by the serial gather chain (~9 s at 1M rays on a
+v5e). This step trades the reference's mixed-image ray batches for
+3DGS-style image-per-step SGD so the whole iteration runs through the
+differentiable tile rasterizer (ops/raster_grad.py): one bin + one bulk
+gather + fwd/bwd Pallas composites instead of ~150 dependent gathers.
+
+Loss terms match train/step.py (reference train.py:176-216): white-bg
+SmoothL1 color, MSE opacity, and the ramped quantile-spread loss over two
+descending random transmittance quantiles — here drawn per PIXEL instead
+of per ray, same distribution.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from radfoam_tpu.models.scene import activate_attributes
+from radfoam_tpu.ops.raster import RasterConfig, _grid_shape
+from radfoam_tpu.ops.raster_grad import render_train
+from radfoam_tpu.train.losses import smooth_l1
+
+_adam = optax.scale_by_adam(eps=1e-15)
+
+
+class RasterStepConfig:
+    """Hashable static config for make_raster_train_step."""
+
+    def __init__(self, raster_config: RasterConfig, activation_scale,
+                 attr_dtype, white_background, width, height):
+        self.raster_config = raster_config
+        self.activation_scale = float(activation_scale)
+        self.attr_dtype = jnp.dtype(attr_dtype)
+        self.white_background = bool(white_background)
+        self.width = int(width)
+        self.height = int(height)
+        self._key = (raster_config, self.activation_scale,
+                     str(self.attr_dtype), self.white_background,
+                     self.width, self.height)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return (isinstance(other, RasterStepConfig)
+                and self._key == other._key)
+
+
+@lru_cache(maxsize=8)
+def make_raster_train_step(cfg: RasterStepConfig):
+    """Build the jitted raster train step.
+
+    step(params, opt_state, nbr_idx, bb_min, bb_max, cam_basis (4, 3)
+    [pos fwd rgt up], intrin (4,), gt_rgb (H, W, 3), gt_alpha (H, W, 1),
+    lrs, w_depth, key) -> (params, opt_state, metrics).
+    """
+    rcfg = cfg.raster_config
+    W, H = cfg.width, cfg.height
+    ntx, nty = _grid_shape(W, H, rcfg.tile)
+    P = rcfg.tile * rcfg.tile
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, nbr_idx, bb_min, bb_max, cam_basis,
+             intrin, gt_rgb, gt_alpha, lrs, w_depth, key):
+        quant = jax.random.uniform(key, (ntx * nty, 2, P))
+        quant = -jnp.sort(-quant, axis=1)  # descending (train.py:176-180)
+        intrin_t = tuple(intrin[i] for i in range(4))
+
+        def loss_fn(p):
+            attrs = activate_attributes(
+                p, cfg.activation_scale, cfg.attr_dtype
+            ).astype(jnp.float32)
+            img, n_pairs = render_train(
+                p["primal_points"], attrs, nbr_idx, bb_min, bb_max,
+                cam_basis[0], cam_basis[1], cam_basis[2], cam_basis[3],
+                intrin_t, quant, width=W, height=H, cfg=rcfg,
+            )
+            img = img.astype(jnp.float32)
+            opacity = img[..., 3:4]
+            if cfg.white_background:
+                rgb = img[..., :3] + (1.0 - opacity)
+            else:
+                rgb = img[..., :3]
+
+            color_loss = smooth_l1(rgb, gt_rgb).mean()
+            opacity_loss = jnp.mean((gt_alpha - opacity) ** 2)
+
+            d0, d1 = img[..., 4], img[..., 5]
+            valid = (d0 > 0) & (d1 > 0)
+            quant_loss = jnp.mean(jnp.abs(d0 - d1) * valid)
+
+            loss = color_loss + opacity_loss + w_depth * quant_loss
+            return loss, (color_loss, n_pairs)
+
+        (loss, (color_loss, n_pairs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = _adam.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u, lr: p - lr * u, params, updates,
+            {k: lrs[k] for k in params},
+        )
+        return params, opt_state, {
+            "loss": loss, "color_loss": color_loss, "n_pairs": n_pairs,
+        }
+
+    return step

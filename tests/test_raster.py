@@ -74,22 +74,26 @@ def raster_image_reference(pts, attrs, table, bounds, cam, cfg):
             K, A,
         )
     )
+    intrin = tuple(
+        float(v) for v in R.fov_intrin(
+            cam.fov, width=cam.width, height=cam.height
+        )
+    )
     cell_s, key_cell, starts, n_pairs = jax.jit(
         R.bin_pairs, static_argnames=("width", "height", "cfg")
     )(
         jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
         jnp.asarray(attrs[:, -1]),
         jnp.asarray(cam.position), jnp.asarray(cam.forward),
-        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), intrin,
         width=cam.width, height=cam.height, cfg=cfg,
     )
     assert int(n_pairs) <= cfg.max_pairs, "pair capacity overflow"
     key_s = np.asarray(key_cell)[np.asarray(cell_s)]
     rows = rpacked[np.asarray(cell_s)]
-    ds = 1.0 / np.tan(cam.fov * 0.5)
     tiles, forced = R.composite_reference(
         rows, np.asarray(key_s), np.asarray(starts), cam.position,
-        cam.forward, cam.right, cam.up, ds,
+        cam.forward, cam.right, cam.up, intrin,
         width=cam.width, height=cam.height, cfg=cfg, K=K, A=A,
     )
     img = R.tiles_to_image(

@@ -21,6 +21,9 @@ from tests.test_raster import build_scene, cam_setup
 def _ref_render(points, attrs, nbr_idx, bb_min, bb_max, cam, qlv_tiles,
                 *, width, height, cfg):
     """Pure-jnp differentiable replica of raster_grad.render_train."""
+    intrin = tuple(
+        float(v) for v in R.fov_intrin(cam.fov, width=width, height=height)
+    )
     A = attrs.shape[1]
     K = nbr_idx.shape[1]
     Q = qlv_tiles.shape[1]
@@ -36,7 +39,7 @@ def _ref_render(points, attrs, nbr_idx, bb_min, bb_max, cam, qlv_tiles,
     cell_s, _k, starts, n_pairs = R.bin_pairs(
         sg(bb_min), sg(bb_max), sg(attrs[:, -1]),
         jnp.asarray(cam.position), jnp.asarray(cam.forward),
-        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), intrin,
         width=width, height=height, cfg=cfg,
     )
     assert int(n_pairs) <= cfg.max_pairs
@@ -48,7 +51,6 @@ def _ref_render(points, attrs, nbr_idx, bb_min, bb_max, cam, qlv_tiles,
     base = 3 + 3 * K
     Wt = base + A
     D = (A - 1) // 3
-    ds = jnp.float32(1.0 / np.tan(cam.fov * 0.5))
     origin = tuple(jnp.float32(v) for v in np.asarray(cam.position))
     cam9 = tuple(
         jnp.float32(v)
@@ -57,11 +59,12 @@ def _ref_render(points, attrs, nbr_idx, bb_min, bb_max, cam, qlv_tiles,
     )
     lens_np = np.asarray(lens)
     nstarts_np = np.asarray(nstarts)
+    intrin_j = tuple(jnp.float32(v) for v in intrin)
 
     tiles = []
     for t in range(ntx * nty):
         dir_rows = R._pixel_dir_rows(
-            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9, ds,
+            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9, intrin_j,
             width=width, height=height, tile=TS,
         )
         dirx, diry, dirz = dir_rows
@@ -146,7 +149,8 @@ def test_train_forward_matches_reference():
     ref = _ref_render(*args, cam, qlv, width=W, height=H, cfg=cfg)
     img, n_pairs = RG.render_train(
         *args, jnp.asarray(cam.position), jnp.asarray(cam.forward),
-        jnp.asarray(cam.right), jnp.asarray(cam.up), jnp.float32(cam.fov),
+        jnp.asarray(cam.right), jnp.asarray(cam.up),
+        R.fov_intrin(jnp.float32(cam.fov), width=W, height=H),
         qlv, width=W, height=H, cfg=cfg,
     )
     np.testing.assert_allclose(
@@ -170,7 +174,8 @@ def test_train_gradients_match_reference():
         img, _ = RG.render_train(
             p, a, *targs, jnp.asarray(cam.position),
             jnp.asarray(cam.forward), jnp.asarray(cam.right),
-            jnp.asarray(cam.up), jnp.float32(cam.fov), qlv,
+            jnp.asarray(cam.up),
+            R.fov_intrin(jnp.float32(cam.fov), width=W, height=H), qlv,
             width=W, height=H, cfg=cfg,
         )
         return jnp.sum(img * wimg)
@@ -197,3 +202,91 @@ def test_train_gradients_match_reference():
     # gradients are non-trivial
     assert float(jnp.linalg.norm(gp_r)) > 0
     assert float(jnp.linalg.norm(ga_r)) > 0
+
+
+def test_raster_train_smoke():
+    """End-to-end raster-engine training (train_engine=raster): loss and
+    eval PSNR improve on the synthetic scene, exercising the full loop
+    (triangulation cadence, bounds cache, densify) through the
+    differentiable raster step."""
+    from radfoam_tpu.data.synthetic import (
+        make_ground_truth_scene,
+        render_views,
+        SyntheticDataHandler,
+    )
+    from radfoam_tpu.models.scene import RadFoamScene
+    from radfoam_tpu.ops.trace import TraceConfig
+    from radfoam_tpu.train.loop import train
+    from radfoam_tpu.train.loop import test_render as eval_render
+    from radfoam_tpu.train.step import StepConfig
+
+    SH = 1
+    pts, attrs, table, _ = make_ground_truth_scene(n_points=400,
+                                                   sh_degree=SH)
+    rays, rgbs, alphas, cams = render_views(
+        pts, attrs, table, SH, n_views=4, wh=(48, 48), return_cams=True
+    )
+
+    class ModelArgs:
+        sh_degree = SH
+        init_points = 512
+        final_points = 1024
+        activation_scale = 1.0
+
+    class PipelineArgs:
+        iterations = 20
+        densify_from = 8
+        densify_until = 16
+        densify_factor = 1.1
+        white_background = True
+        quantile_weight = 1e-4
+        experiment_name = ""
+        debug = True
+        viewer = False
+        train_engine = "raster"
+
+    class OptimizerArgs:
+        points_lr_init = 2e-4
+        points_lr_final = 5e-6
+        density_lr_init = 1e-1
+        density_lr_final = 1e-2
+        attributes_lr_init = 5e-3
+        attributes_lr_final = 5e-4
+        sh_factor = 0.1
+        freeze_points = 18
+
+    class DatasetArgs:
+        dataset = "synthetic"
+        data_path = ""
+        scene = "blob"
+        patch_based = False
+        downsample = [1]
+        downsample_iterations = [0]
+
+    class HandlerFactory:
+        def __init__(self, dataset_args, rays_per_batch, device=None):
+            self.h = SyntheticDataHandler(
+                rays, rgbs, alphas, rays_per_batch=0, points3D=pts,
+                cams=cams,
+            )
+
+        def __getattr__(self, name):
+            return getattr(self.h, name)
+
+    model, final_psnr, _ = train(
+        None, PipelineArgs(), ModelArgs(), OptimizerArgs(), DatasetArgs(),
+        data_handler_cls=HandlerFactory,
+    )
+
+    fresh = RadFoamScene(ModelArgs(), points=pts, seed=123)
+    cfg = StepConfig(
+        TraceConfig(sh_degree=SH, num_quantiles=2), 1.0, jnp.float32, True
+    )
+    handler = SyntheticDataHandler(rays, rgbs, alphas, points3D=pts,
+                                   cams=cams)
+    initial_psnr = eval_render(fresh, cfg, handler)
+    assert np.isfinite(final_psnr)
+    assert final_psnr > initial_psnr + 0.5, (
+        f"raster training did not improve: "
+        f"{initial_psnr:.2f} -> {final_psnr:.2f}"
+    )

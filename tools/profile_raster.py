@@ -78,7 +78,11 @@ def main():
             dtype=dtype)
     )(jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
       bbmin_d, bbmax_d)
-    rtable.block_until_ready()
+    # NB: block_until_ready over the axon tunnel does not reliably wait
+    # for remote completion (DEVNOTES gotcha) — the table build's multi-GB
+    # XLA temps must be retired before the next stage launches or the two
+    # overlap and OOM the 16 GB HBM. device_get of a slice really waits.
+    _ = jax.device_get(rtable[:2, :2])
     Wrow = rtable.shape[1]
     print(f"row table: {rtable.shape} {rtable.dtype} CE={args.ce} "
           f"({rtable.size * dtype.itemsize / 1e9:.2f} GB)", flush=True)
@@ -90,8 +94,9 @@ def main():
     fov = jnp.float32(1.0)
 
     # ---- stage 1: bin + sort
+    intrin = R.fov_intrin(fov, width=W, height=H)
     bin_fn = jax.jit(lambda b0, b1, dd, p, f, r, u: R.bin_pairs(
-        b0, b1, dd, p, f, r, u, fov, width=W, height=H, cfg=cfg))
+        b0, b1, dd, p, f, r, u, intrin, width=W, height=H, cfg=cfg))
     t_bin, out = timed(bin_fn, (bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up),
                        args.reps, lambda o: o[3])
     cell_s, key_cell, starts, n_pairs = out
@@ -120,10 +125,9 @@ def main():
           f"({gb:.2f} GB)", flush=True)
 
     # ---- stage 3: Pallas composite
-    ds = float(1.0 / np.tan(0.5))
     cam_v = jnp.concatenate(
-        [pos, fwd, rgt, up, jnp.full((1,), ds, jnp.float32),
-         jnp.zeros((3,), jnp.float32)])
+        [pos, fwd, rgt, up]
+        + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin])
     comp_fn = jax.jit(lambda rows, ns, ls, cv: R.composite_pallas(
         rows, ns, ls, cv, width=W, height=H, cfg=cfg, K=K, A=A))
     t_c, out = timed(comp_fn, (rows, nstarts, lens, cam_v), args.reps,
