@@ -64,36 +64,36 @@ def main():
     print(f"scene ready in {time.time()-t0:.0f}s (K={table.shape[1]}, "
           f"bound clamp r={clamp_r:.3f})", file=sys.stderr)
 
+    # cap sized to the measured protocol maximum (2.46M pairs over the 4
+    # poses) + 28% headroom: the static pair buffers dominate peak HBM
+    # (rows alone = Mp x 1.5 KB) and the bulk gather is per-ROW bound, so
+    # a tight cap is both the memory fix and a ~20% gather win
     cfg = R.RasterConfig(
         sh_degree=SH, weight_threshold=0.05, tile=16,
-        max_pairs=1 << 22, alpha_cull=1e-3, table_k=int(table.shape[1]),
+        max_pairs=3 << 20, alpha_cull=1e-3, table_k=int(table.shape[1]),
     )
     bbmin_d = jnp.asarray(bb_min)
     bbmax_d = jnp.asarray(bb_max)
 
     @jax.jit
     def _build(p, a, t, b0, b1):
-        return R.build_row_table(
-            R.pack_raster_table(p, a, t), b0, b1, sh_degree=SH
-        )
+        return R.build_scene_table(p, a, t, b0, b1, sh_degree=SH)
 
     rtable = _build(
         jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
         bbmin_d, bbmax_d,
     )
-    rtable.block_until_ready()
+    # real sync (block_until_ready is unreliable over the tunnel): the
+    # build's multi-GB temps must retire before the frame stages dispatch
+    _ = jax.device_get(rtable[:2, :2])
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
 
-    # pass the big arrays as jit ARGS (a closure would capture them as
-    # multi-GB compile-time constants)
-    def _render(rp, b0, b1, dd, pos, fwd, rgt, up):
-        return R.render_frame(rp, b0, b1, dd, pos, fwd, rgt, up,
-                              jnp.float32(1.0), width=width, height=height,
-                              cfg=cfg)
-
-    rfn = jax.jit(_render)
-    render = lambda pos, fwd, rgt, up: rfn(
-        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+    # staged renderer: three chained jits, still fully async — a fresh
+    # compile of the single fused frame graph at 2M points can land a
+    # memory plan exceeding the 16 GB HBM (see raster.render_frame_staged)
+    render = lambda pos, fwd, rgt, up: R.render_frame_staged(
+        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+        jnp.float32(1.0), width=width, height=height, cfg=cfg)
 
 
     frames = []

@@ -39,7 +39,7 @@ against golden walk renders when on:
     dropped.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import numpy as np
@@ -1018,3 +1018,132 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
     )
     img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
     return img, n_pairs, jnp.sum(forced)
+
+
+@lru_cache(maxsize=8)
+def _staged_fns(width, height, cfg, K, A):
+    bin_j = jax.jit(
+        partial(bin_pairs, width=width, height=height, cfg=cfg)
+    )
+
+    @jax.jit
+    def gather_j(rows_table, cell_s, starts):
+        cell_p, nstarts, lens = relayout_pairs(
+            cell_s, starts, width=width, height=height, cfg=cfg
+        )
+        return jnp.take(rows_table, cell_p, axis=0), nstarts, lens
+
+    @jax.jit
+    def comp_j(rows, nstarts, lens, cam):
+        tiles, forced = composite_pallas(
+            rows, nstarts, lens, cam,
+            width=width, height=height, cfg=cfg, K=K, A=A,
+        )
+        img = tiles_to_image(
+            tiles, width=width, height=height, tile=cfg.tile
+        )
+        return img, jnp.sum(forced)
+
+    return bin_j, gather_j, comp_j
+
+
+def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
+                        rgt, up, fov, *, width, height, cfg):
+    """render_frame split into three chained jits (bin / gather /
+    composite).
+
+    Semantically identical to render_frame and still fully async (each
+    stage dispatches without host sync, so frames pipeline the same), but
+    each executable's peak HBM is bounded by its own stage — a fresh XLA
+    compile of the single fused frame graph at 2M points can land a
+    memory plan that exceeds the 16 GB v5e HBM, while the staged pieces
+    compile and fit reliably. Use this for big scenes; render_frame
+    remains the one-call path for everything else.
+    """
+    N, Wt = rows_table.shape
+    A = 1 + 3 * (cfg.sh_degree + 1) ** 2
+    K = cfg.table_k
+    if K <= 0:
+        raise ValueError(
+            "cfg.table_k must carry the scene's adjacency width"
+        )
+    if -(-(3 + 3 * K + A + 8) // 128) * 128 != Wt:
+        raise ValueError(
+            f"rows_table width {Wt} inconsistent with table_k={K}"
+        )
+    bin_j, gather_j, comp_j = _staged_fns(width, height, cfg, K, A)
+    intrin = fov_intrin(
+        jnp.asarray(fov, jnp.float32), width=width, height=height
+    )
+    cell_s, _key, starts, n_pairs = bin_j(
+        bb_min, bb_max, density, pos, fwd, rgt, up, intrin
+    )
+    rows, nstarts, lens = gather_j(rows_table, cell_s, starts)
+    cam = jnp.concatenate(
+        [pos, fwd, rgt, up]
+        + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
+    )
+    img, forced = comp_j(rows, nstarts, lens, cam)
+    return img, n_pairs, forced
+
+
+def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,
+                      sh_degree, dtype=jnp.float32):
+    """Fused one-pass equivalent of
+    build_row_table(pack_raster_table(...), ...).
+
+    The two-step path materializes the interleaved pack (2.1 GB at 2M
+    points), the planar reorder (another 2.1 GB), the concat, and the pad
+    — ~13 GB of transient HBM, which does not reliably fit next to the
+    scene on a 16 GB chip. This builder emits the final (N, Wpad) layout
+    in ONE concatenate whose operands are fused producers (neighbor
+    offsets, channel-major SH slices), cutting peak to ~7 GB.
+    Bit-identical to the two-step path (tested).
+    """
+    points = points.astype(jnp.float32)
+    attrs = attrs.astype(jnp.float32)
+    N, K = nbr_idx.shape
+    A = attrs.shape[1]
+    D = (A - 1) // 3
+
+    q = jnp.take(points, nbr_idx, axis=0)  # (N, K, 3)
+    off = (q - points[:, None, :]).astype(jnp.float16).astype(jnp.float32)
+    deg = jnp.sum(
+        jnp.any(off != 0.0, axis=-1), axis=1
+    ).astype(jnp.float32)[:, None]
+    # channel-major SH: attrs[:, :-1] is (N, D, 3) coefficient-major
+    sh_planar = (
+        attrs[:, : 3 * D].reshape(N, D, 3).transpose(0, 2, 1).reshape(
+            N, 3 * D
+        )
+    )
+    center = 0.5 * (bb_min + bb_max).astype(jnp.float32)
+    e_norm = jnp.linalg.norm(
+        0.5 * (bb_max - bb_min).astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    if jnp.dtype(dtype) == jnp.float16:
+        p_hi = points.astype(jnp.float16).astype(jnp.float32)
+        p_lo = points - p_hi
+    else:
+        p_hi = points
+        p_lo = jnp.zeros_like(points)
+    W_used = 3 + 3 * K + A + 8
+    W_pad = -(-W_used // 128) * 128
+    table = jnp.concatenate(
+        [
+            p_hi,
+            off[..., 0],
+            off[..., 1],
+            off[..., 2],
+            sh_planar,
+            attrs[:, -1:],
+            center,
+            e_norm,
+            deg,
+            p_lo,
+            jnp.zeros((N, W_pad - W_used), jnp.float32),
+        ],
+        axis=1,
+    ).astype(dtype)
+    return table

@@ -250,3 +250,47 @@ def test_f16_row_table_matches_f32():
         )
         imgs[jnp.dtype(dtype).name] = np.asarray(img)
     assert psnr(imgs["float32"], imgs["float16"]) > 40.0
+
+
+def test_staged_renderer_matches_fused():
+    pts, attrs, table, bounds = build_scene(n_points=1200, saturate=True)
+    W = H = 32
+    cam, _ = cam_setup(pts, W, H)
+    cfg = R.RasterConfig(sh_degree=2, weight_threshold=0.001, tile=16,
+                         max_pairs=1 << 16, interpret=True,
+                         table_k=int(table.shape[1]))
+    rtable = R.build_row_table(
+        R.pack_raster_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+        ),
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+    )
+    args = (rtable, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+            jnp.asarray(attrs[:, -1]),
+            jnp.asarray(cam.position), jnp.asarray(cam.forward),
+            jnp.asarray(cam.right), jnp.asarray(cam.up),
+            jnp.float32(cam.fov))
+    img_f, np_f, _ = R.render_frame(*args, width=W, height=H, cfg=cfg)
+    img_s, np_s, _ = R.render_frame_staged(*args, width=W, height=H,
+                                           cfg=cfg)
+    assert int(np_f) == int(np_s)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_f),
+                               atol=1e-6)
+
+
+def test_fused_scene_table_matches_two_step():
+    pts, attrs, table, bounds = build_scene(n_points=900, saturate=False)
+    for dtype in (jnp.float32, jnp.float16):
+        two = R.build_row_table(
+            R.pack_raster_table(
+                jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+            ),
+            jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+            dtype=dtype,
+        )
+        one = R.build_scene_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+            jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+            dtype=dtype,
+        )
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
