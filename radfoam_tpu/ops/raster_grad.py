@@ -56,6 +56,7 @@ from radfoam_tpu.ops.raster import (
     _chunk_precompute,
     bin_pairs,
     build_row_table,
+    build_scene_table,
     pack_raster_table,
     relayout_pairs,
     tiles_to_image,
@@ -573,9 +574,10 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
     Q = qlv_tiles.shape[1]
     sg = jax.lax.stop_gradient
 
-    rpacked = pack_raster_table(points, attrs, nbr_idx)
-    table = build_row_table(rpacked, sg(bb_min), sg(bb_max),
-                            sh_degree=cfg.sh_degree)
+    # fused one-pass build: the two-step pack/reorder path transiently
+    # holds ~2x the table in HBM (see raster.build_scene_table)
+    table = build_scene_table(points, attrs, nbr_idx, sg(bb_min),
+                              sg(bb_max), sh_degree=cfg.sh_degree)
 
     cell_s, _key, starts, n_pairs = bin_pairs(
         sg(bb_min), sg(bb_max), sg(attrs[:, -1]), sg(pos), sg(fwd),

@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--ce", type=int, default=16, help="entry_chunk")
     ap.add_argument("--cap", type=int, default=1 << 22, help="max_pairs")
+    ap.add_argument("--rw", type=int, default=8, help="reorder_window")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float16"], help="row table dtype")
     args = ap.parse_args()
@@ -67,15 +68,14 @@ def main():
     cfg = R.RasterConfig(
         sh_degree=SH, weight_threshold=0.05, tile=16,
         max_pairs=args.cap, alpha_cull=1e-3, table_k=K,
-        entry_chunk=args.ce,
+        entry_chunk=args.ce, reorder_window=args.rw,
     )
     bbmin_d, bbmax_d = jnp.asarray(bb_min), jnp.asarray(bb_max)
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
 
     rtable = jax.jit(
-        lambda p, a, t, b0, b1: R.build_row_table(
-            R.pack_raster_table(p, a, t), b0, b1, sh_degree=SH,
-            dtype=dtype)
+        lambda p, a, t, b0, b1: R.build_scene_table(
+            p, a, t, b0, b1, sh_degree=SH, dtype=dtype)
     )(jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
       bbmin_d, bbmax_d)
     # NB: block_until_ready over the axon tunnel does not reliably wait
@@ -124,6 +124,15 @@ def main():
     print(f"relayout+gather: {t_g*1000:.1f} ms  rows={rows.shape} "
           f"({gb:.2f} GB)", flush=True)
 
+    # sub-timing: the index re-layout alone (scatter-seed + cummax +
+    # takes) vs the big row gather it feeds
+    rl_fn = jax.jit(lambda cs, st: R.relayout_pairs(
+        cs, st, width=W, height=H, cfg=cfg)[0])
+    t_rl, _ = timed(rl_fn, (cell_s, starts), args.reps,
+                    lambda o: o[:2])
+    print(f"  relayout indices only: {t_rl*1000:.1f} ms "
+          f"(row gather ~{(t_g - t_rl)*1000:.1f} ms)", flush=True)
+
     # ---- stage 3: Pallas composite
     cam_v = jnp.concatenate(
         [pos, fwd, rgt, up]
@@ -142,13 +151,13 @@ def main():
           f"(bin {100*t_bin/tot:.0f}% gather {100*t_g/tot:.0f}% "
           f"composite {100*t_c/tot:.0f}%)", flush=True)
 
-    # ---- end-to-end render_frame (fused; the product number)
-    rf = jax.jit(lambda rt, b0, b1, dd, p, f, r, u: R.render_frame(
-        rt, b0, b1, dd, p, f, r, u, fov, width=W, height=H, cfg=cfg))
+    # ---- end-to-end staged render (the product path — bench.py)
+    rf = lambda rt, b0, b1, dd, p, f, r, u: R.render_frame_staged(
+        rt, b0, b1, dd, p, f, r, u, fov, width=W, height=H, cfg=cfg)
     t_e2e, out = timed(rf, (rtable, bbmin_d, bbmax_d, dens_d,
                             pos, fwd, rgt, up),
                        args.reps, lambda o: o[0][:2, :2])
-    print(f"E2E render_frame: {t_e2e*1000:.1f} ms -> {1/t_e2e:.2f} fps",
+    print(f"E2E staged render: {t_e2e*1000:.1f} ms -> {1/t_e2e:.2f} fps",
           flush=True)
 
 
