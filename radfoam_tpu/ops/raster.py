@@ -1095,7 +1095,7 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
 
 
 def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,
-                      sh_degree, dtype=jnp.float32):
+                      sh_degree, dtype=jnp.float32, chunks=None):
     """Fused one-pass equivalent of
     build_row_table(pack_raster_table(...), ...).
 
@@ -1106,14 +1106,54 @@ def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,
     in ONE concatenate whose operands are fused producers (neighbor
     offsets, channel-major SH slices), cutting peak to ~7 GB.
     Bit-identical to the two-step path (tested).
+
+    ``chunks``: split the build into a remat'd lax.map over point blocks.
+    Under AUTODIFF the concat's narrow (N, 1..72) operands become
+    residuals that TPU tiled layouts pad to (N, 128) — ~1 GB each at 2M
+    points regardless of logical width (measured 45% HBM utilization in
+    the train step). Chunking bounds them to one block at a time; the
+    inference path (no autodiff) fuses them and needs no chunking.
     """
+    if chunks is not None and chunks > 1:
+        N = points.shape[0]
+        if N % chunks == 0:
+            n = N // chunks
+
+            @jax.checkpoint
+            def piece(args):
+                pts_c, attrs_c, nbr_c, bmin_c, bmax_c = args
+                return _build_block(
+                    points, pts_c, attrs_c, nbr_c, bmin_c, bmax_c,
+                    dtype=dtype,
+                )
+
+            blocks = jax.lax.map(
+                piece,
+                (
+                    points.reshape(chunks, n, 3),
+                    attrs.reshape(chunks, n, -1),
+                    nbr_idx.reshape(chunks, n, -1),
+                    bb_min.reshape(chunks, n, 3),
+                    bb_max.reshape(chunks, n, 3),
+                ),
+            )
+            return blocks.reshape(N, blocks.shape[-1])
+    return _build_block(points, points, attrs, nbr_idx, bb_min, bb_max,
+                        dtype=dtype)
+
+
+def _build_block(all_points, points, attrs, nbr_idx, bb_min, bb_max, *,
+                 dtype):
+    """One block of build_scene_table (points etc. are the block's rows;
+    all_points backs the neighbor gather)."""
+    all_points = all_points.astype(jnp.float32)
     points = points.astype(jnp.float32)
     attrs = attrs.astype(jnp.float32)
     N, K = nbr_idx.shape
     A = attrs.shape[1]
     D = (A - 1) // 3
 
-    q = jnp.take(points, nbr_idx, axis=0)  # (N, K, 3)
+    q = jnp.take(all_points, nbr_idx, axis=0)  # (N, K, 3)
     off = (q - points[:, None, :]).astype(jnp.float16).astype(jnp.float32)
     deg = jnp.sum(
         jnp.any(off != 0.0, axis=-1), axis=1

@@ -65,31 +65,39 @@ from radfoam_tpu.ops.raster import (
 OD_CLAMP = 30.0  # max per-segment optical depth (see module docstring)
 
 
-def _entry_interval(pre, e, dir_rows, degm):
-    """Entry e's per-plane quantities + interval (shared fwd/bwd math).
+_KB = 8  # plane block width for the degree skip
 
-    Returns (den (K, P), t (K, P), t_out (1, P), t_in (1, P)) with the
-    same degree-block skipping as the inference kernel — skipped blocks
-    hold only padding planes (v = 0, num = 0 -> t = NaN) which belong to
-    neither the entry nor the exit set. Backward plane selection compares
-    against these exact t values, so fwd/bwd see identical extremes.
-    """
+
+def _block_dent(pre, e, dir_rows, kb):
+    """Plane block kb's (den, t), each (_KB, P)."""
     vx, vy, vz, num, _sig, _key, _rgb = pre
     dirx, diry, dirz = dir_rows
-    K = vx.shape[0]
-    P = dirx.shape[1]
+    den = (
+        vx[kb : kb + _KB, e : e + 1] * dirx
+        + vy[kb : kb + _KB, e : e + 1] * diry
+        + vz[kb : kb + _KB, e : e + 1] * dirz
+    )
+    return den, num[kb : kb + _KB, e : e + 1] / den
 
-    den = vx[:, e : e + 1] * dirx + vy[:, e : e + 1] * diry \
-        + vz[:, e : e + 1] * dirz  # (K, P)
-    t = num[:, e : e + 1] / den
 
-    KB = 8
+def _entry_interval(pre, e, dir_rows, degm):
+    """Entry e's ray interval (t_out, t_in), each (1, P).
+
+    Plane blocks past the chunk's max real degree are skipped ENTIRELY —
+    including the per-plane divides, which dominate the train kernels'
+    cost at K=72 vs mean degree ~15 (the inference kernel does the same,
+    raster.py:_entry_from_chunk). Skipped blocks hold only padding planes
+    (v = 0, num = 0 -> t = NaN) which belong to neither the entry nor the
+    exit set.
+    """
+    K = pre[0].shape[0]
+    P = dir_rows[0].shape[1]
+
     t_out = jnp.full((1, P), jnp.inf, jnp.float32)
     t_in = jnp.zeros((1, P), jnp.float32)
-    for kb in range(0, K, KB):
+    for kb in range(0, K, _KB):
         def upd(to, ti, kb=kb):
-            d_b = den[kb : kb + KB]
-            t_b = t[kb : kb + KB]
+            d_b, t_b = _block_dent(pre, e, dir_rows, kb)
             to = jnp.minimum(
                 to,
                 jnp.min(jnp.where(d_b > 0.0, t_b, jnp.inf), axis=0,
@@ -105,7 +113,7 @@ def _entry_interval(pre, e, dir_rows, degm):
         t_out, t_in = jax.lax.cond(
             kb < degm, upd, lambda to, ti: (to, ti), t_out, t_in
         )
-    return den, t, t_out, t_in
+    return t_out, t_in
 
 
 def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
@@ -161,7 +169,7 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
         rgb = pre[6]
 
         for e in range(CE):
-            _, _, t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
+            t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
             seg = jnp.where(
                 jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
             )
@@ -182,7 +190,11 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
             # quantile depth: T crosses level q inside this segment
             # (trace.py:240-253 / reference pipeline.cu)
             hit = live & (T >= qlv) & (T_next < qlv)  # (Q, P)
-            dq = t_in + jnp.log(T / qlv) / sig_e
+            # Mosaic cannot broadcast (1,1) -> (Q,P) in one op: widen
+            # sigma to lanes first, then the (Q,P)/(1,P) divide is a
+            # sublane-only broadcast
+            sig_p = sig_e * (t_in * 0.0 + 1.0)  # (1, P)
+            dq = t_in + jnp.log(T / qlv) / sig_p
             qd = jnp.where(hit, dq, qd)
             nlive = nlive + live.astype(jnp.float32)
             T = T_next
@@ -304,11 +316,15 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             pzr = chunk_t[2:3] + chunk_t[Wt + 7 : Wt + 8]
 
             T_c, Sr, Sg, Sb, cd = T_cur, S_r, S_g, S_b, cdg
-            dcol = jnp.zeros((Wrow, CE), jnp.float32)
+            # per-entry gradient pieces, gathered per component and
+            # lane-concatenated into (rows, CE) blocks after the loop —
+            # Mosaic rejects sublane concatenation of mixed-layout
+            # single-lane columns, so assembly is block-wise instead
+            acc = {k: [None] * CE for k in
+                   ("dpx", "dpy", "dpz", "dvx", "dvy", "dvz",
+                    "dc0", "dc1", "dc2", "dsig")}
             for e in reversed(range(CE)):
-                den, t, t_out, t_in = _entry_interval(
-                    pre, e, dir_rows, degm
-                )
+                t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
                 seg = jnp.where(
                     jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0),
                     0.0,
@@ -350,35 +366,63 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                 dt_out = dseg
                 dt_in = -dseg + jnp.where(t_in > 0.0, g_hit_sum, 0.0)
 
-                sel_out = (den > 0.0) & (t == t_out)
-                sel_in = (den < 0.0) & (t == t_in) & (t_in > 0.0)
-                dnum = jnp.where(sel_out, dt_out / den, 0.0) + jnp.where(
-                    sel_in, dt_in / den, 0.0
-                )  # (K, P)
-                dden = jnp.where(sel_out | sel_in, -dnum * t, 0.0)
-
-                # MXU lane reductions
-                s_dnum = jax.lax.dot_general(
-                    dnum, ones_1p, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (K, 1)
-                s_dden = jax.lax.dot_general(
-                    dden, dmat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (K, 3)
-
+                # second blocked pass: per-plane grads only for blocks
+                # inside the chunk's max degree (same skip as the
+                # interval pass — the divides dominate at K >> mean deg)
                 px = pxr[0:1, e : e + 1]
                 py = pyr[0:1, e : e + 1]
                 pz = pzr[0:1, e : e + 1]
-                vxe = vx[:, e : e + 1]
-                vye = vy[:, e : e + 1]
-                vze = vz[:, e : e + 1]
-                dvx = s_dnum * ((px - ox) + vxe) + s_dden[:, 0:1]
-                dvy = s_dnum * ((py - oy) + vye) + s_dden[:, 1:2]
-                dvz = s_dnum * ((pz - oz) + vze) + s_dden[:, 2:3]
-                dpx = jnp.sum(s_dnum * vxe, axis=0, keepdims=True)
-                dpy = jnp.sum(s_dnum * vye, axis=0, keepdims=True)
-                dpz = jnp.sum(s_dnum * vze, axis=0, keepdims=True)
+                dv_blocks = []
+                dpx = jnp.zeros((1, 1), jnp.float32)
+                dpy = jnp.zeros((1, 1), jnp.float32)
+                dpz = jnp.zeros((1, 1), jnp.float32)
+                for kb in range(0, K, _KB):
+                    vx_b = vx[kb : kb + _KB, e : e + 1]
+                    vy_b = vy[kb : kb + _KB, e : e + 1]
+                    vz_b = vz[kb : kb + _KB, e : e + 1]
+
+                    def grads_b(kb=kb, vx_b=vx_b, vy_b=vy_b, vz_b=vz_b):
+                        den_b, t_b = _block_dent(pre, e, dir_rows, kb)
+                        so = (den_b > 0.0) & (t_b == t_out)
+                        si = (den_b < 0.0) & (t_b == t_in) & (t_in > 0.0)
+                        dnum_b = jnp.where(so, dt_out / den_b, 0.0) \
+                            + jnp.where(si, dt_in / den_b, 0.0)
+                        dden_b = jnp.where(so | si, -dnum_b * t_b, 0.0)
+                        s_dnum = jax.lax.dot_general(
+                            dnum_b, ones_1p, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (_KB, 1)
+                        s_dden = jax.lax.dot_general(
+                            dden_b, dmat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (_KB, 3)
+                        dvx_b = s_dnum * ((px - ox) + vx_b) \
+                            + s_dden[:, 0:1]
+                        dvy_b = s_dnum * ((py - oy) + vy_b) \
+                            + s_dden[:, 1:2]
+                        dvz_b = s_dnum * ((pz - oz) + vz_b) \
+                            + s_dden[:, 2:3]
+                        dpx_b = jnp.sum(s_dnum * vx_b, axis=0,
+                                        keepdims=True)
+                        dpy_b = jnp.sum(s_dnum * vy_b, axis=0,
+                                        keepdims=True)
+                        dpz_b = jnp.sum(s_dnum * vz_b, axis=0,
+                                        keepdims=True)
+                        return dvx_b, dvy_b, dvz_b, dpx_b, dpy_b, dpz_b
+
+                    def zeros_b():
+                        z81 = jnp.zeros((_KB, 1), jnp.float32)
+                        z11 = jnp.zeros((1, 1), jnp.float32)
+                        return z81, z81, z81, z11, z11, z11
+
+                    out_b = jax.lax.cond(kb < degm, grads_b, zeros_b)
+                    dv_blocks.append(out_b[:3])
+                    dpx = dpx + out_b[3]
+                    dpy = dpy + out_b[4]
+                    dpz = dpz + out_b[5]
+                dvx = jnp.concatenate([b[0] for b in dv_blocks], axis=0)
+                dvy = jnp.concatenate([b[1] for b in dv_blocks], axis=0)
+                dvz = jnp.concatenate([b[2] for b in dv_blocks], axis=0)
 
                 dsig = jax.lax.dot_general(
                     jnp.where(live, dod * seg * unclamped, 0.0) + ds_q,
@@ -399,17 +443,11 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                     for ch, g in ((0, g_r), (1, g_g), (2, g_b))
                 ]
 
-                pad = Wrow - (Wt + 8)
-                col = jnp.concatenate(
-                    [dpx, dpy, dpz, dvx, dvy, dvz] + dcoef + [
-                        dsig,
-                        jnp.zeros((5, 1), jnp.float32),  # center/enorm/deg
-                        dpx, dpy, dpz,  # p_lo mirrors p_hi
-                        jnp.zeros((pad, 1), jnp.float32),
-                    ],
-                    axis=0,
-                )  # (Wrow, 1)
-                dcol = jax.lax.dynamic_update_slice(dcol, col, (0, e))
+                for k, v in (("dpx", dpx), ("dpy", dpy), ("dpz", dpz),
+                             ("dvx", dvx), ("dvy", dvy), ("dvz", dvz),
+                             ("dc0", dcoef[0]), ("dc1", dcoef[1]),
+                             ("dc2", dcoef[2]), ("dsig", dsig)):
+                    acc[k][e] = v
 
                 Sr = Sr + w * c_r
                 Sg = Sg + w * c_g
@@ -417,7 +455,29 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                 cd = cd + g_hit_sum / jnp.maximum(sig_e, 1e-30)
                 T_c = T_prev
 
-            dbuf[slot] = _mxu_transpose(dcol)
+            # block-wise assembly: lane-concat each component's columns
+            # to (rows, CE), MXU-transpose to (CE, rows), store into the
+            # output chunk at its static column range
+            blk = {k: jnp.concatenate(v, axis=1) for k, v in acc.items()}
+            dbuf[slot] = jnp.zeros((CE, Wrow), jnp.float32)
+            dp_t = _mxu_transpose(
+                jnp.concatenate([blk["dpx"], blk["dpy"], blk["dpz"]],
+                                axis=0)
+            )  # (CE, 3)
+            dbuf[slot, :, 0:3] = dp_t
+            dbuf[slot, :, 3 : 3 + K] = _mxu_transpose(blk["dvx"])
+            dbuf[slot, :, 3 + K : 3 + 2 * K] = _mxu_transpose(blk["dvy"])
+            dbuf[slot, :, 3 + 2 * K : 3 + 3 * K] = _mxu_transpose(
+                blk["dvz"]
+            )
+            for ch in range(3):
+                dbuf[slot, :, base + ch * D : base + (ch + 1) * D] = (
+                    _mxu_transpose(blk[f"dc{ch}"])
+                )
+            dbuf[slot, :, base + 3 * D : base + 3 * D + 1] = (
+                _mxu_transpose(blk["dsig"])
+            )
+            dbuf[slot, :, Wt + 5 : Wt + 8] = dp_t  # p_lo mirrors p_hi
             return (T_c, Sr, Sg, Sb, cd)
 
         T_cur, S_r, S_g, S_b, cdg = jax.lax.cond(
@@ -442,6 +502,29 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
     def _():
         put_dma(0, 0).wait()
 
+    # the tail [nstarts[n_tiles], Mp) belongs to no tile: the last grid
+    # step zeroes it in place so the caller needs no masking copy (a
+    # full-size copy would defeat the rows -> drows buffer aliasing)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(t_id == n_tiles - 1)
+    def _():
+        tail0 = pl.multiple_of(starts_ref[n_tiles], CE)
+        n_tail = (drows_hbm.shape[0] - tail0) // CE
+        dbuf[0] = jnp.zeros((CE, Wrow), jnp.float32)
+
+        def tbody(i, _):
+            cp = pltpu.make_async_copy(
+                dbuf.at[0],
+                drows_hbm.at[pl.ds(tail0 + i * CE, CE)],
+                osems.at[0],
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_tail, tbody, 0)
+
 
 @lru_cache(maxsize=8)
 def _make_composite_train(width, height, cfg, K, A, Q):
@@ -451,6 +534,9 @@ def _make_composite_train(width, height, cfg, K, A, Q):
     P = cfg.tile * cfg.tile
     interpret = cfg.interpret or jax.default_backend() == "cpu"
 
+    if cfg.max_pairs % cfg.entry_chunk:
+        raise ValueError("max_pairs must be a multiple of entry_chunk "
+                         "(the bwd kernel zeroes the tail chunk-wise)")
     fwd_kernel = partial(_composite_train_fwd_kernel, cfg, K, A, Q,
                          width, height, ntx)
     bwd_kernel = partial(_composite_train_bwd_kernel, cfg, K, A, Q,
@@ -516,21 +602,22 @@ def _make_composite_train(width, height, cfg, K, A, Q):
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
+        # alias rows -> drows: every chunk region is DMA-read strictly
+        # before its gradient chunk is written back (and zero-chunks are
+        # never read), so the 3.3 GB rows residual is reused in place —
+        # the difference between the 2M train step fitting HBM or not.
+        # Input index 3 = rows in (nstarts, lens, cam, rows, ...).
+        alias = {} if rows.dtype != jnp.float32 else {3: 0}
         drows = pl.pallas_call(
             bwd_kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((Mp, Wrow), jnp.float32),
             ],
+            input_output_aliases=alias,
             interpret=interpret,
         )(nstarts, lens, cam, rows, qlv, tiles, g_tiles, nlive)[0]
-        # rows beyond the last tile's padded range belong to no tile and
-        # were never written — mask the uninitialized tail so the gather
-        # backward doesn't scatter garbage into cell 0
-        written = jax.lax.broadcasted_iota(
-            jnp.int32, (Mp, 1), 0
-        ) < nstarts[-1]
-        return jnp.where(written, drows, 0.0)
+        return drows
 
     @jax.custom_vjp
     def composite_train(rows, nstarts, lens, cam, qlv):
@@ -574,11 +661,6 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
     Q = qlv_tiles.shape[1]
     sg = jax.lax.stop_gradient
 
-    # fused one-pass build: the two-step pack/reorder path transiently
-    # holds ~2x the table in HBM (see raster.build_scene_table)
-    table = build_scene_table(points, attrs, nbr_idx, sg(bb_min),
-                              sg(bb_max), sh_degree=cfg.sh_degree)
-
     cell_s, _key, starts, n_pairs = bin_pairs(
         sg(bb_min), sg(bb_max), sg(attrs[:, -1]), sg(pos), sg(fwd),
         sg(rgt), sg(up), intrin, width=width, height=height, cfg=cfg,
@@ -586,7 +668,27 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
     cell_p, nstarts, lens = relayout_pairs(
         cell_s, starts, width=width, height=height, cfg=cfg
     )
-    rows = jnp.take(table, sg(cell_p), axis=0)
+    cell_p = sg(cell_p)
+
+    # table build + gather under jax.checkpoint: under autodiff XLA must
+    # otherwise materialize the build's narrow (N, 1..72) concat operands
+    # as residuals, and TPU tiled layouts pad each to (N, 128) — measured
+    # ~8 GB of pure padding at 2M points (45% HBM utilization). Remat
+    # keeps them fused in both passes; the only residuals are
+    # (points, attrs, indices). Uses the fused one-pass builder
+    # (raster.build_scene_table) for the same reason.
+    n_chunks = next(
+        (c for c in (16, 8, 4, 2) if points.shape[0] % c == 0), None
+    )
+
+    @jax.checkpoint
+    def _rows_fn(pts_, attrs_):
+        tb = build_scene_table(pts_, attrs_, nbr_idx, sg(bb_min),
+                               sg(bb_max), sh_degree=cfg.sh_degree,
+                               chunks=n_chunks)
+        return jnp.take(tb, cell_p, axis=0)
+
+    rows = _rows_fn(points, attrs)
 
     cam = jnp.concatenate(
         [pos, fwd, rgt, up]

@@ -294,3 +294,9 @@ def test_fused_scene_table_matches_two_step():
             dtype=dtype,
         )
         np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+        chunked = R.build_scene_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+            jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+            dtype=dtype, chunks=4,
+        )
+        np.testing.assert_array_equal(np.asarray(chunked), np.asarray(two))

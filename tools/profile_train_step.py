@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,7 @@ def main():
     ap.add_argument("--width", type=int, default=1296)
     ap.add_argument("--height", type=int, default=728)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cap", type=int, default=2 << 20)
     ap.add_argument("--skip-walk", action="store_true")
     args = ap.parse_args()
     W, H = args.width, args.height
@@ -51,7 +54,12 @@ def main():
     params = {
         "primal_points": jnp.asarray(pts),
         "density": jnp.asarray(
-            np.log(np.expm1(np.maximum(attrs[:, -1:], 1e-4) * 10.0)) / 10.0
+            np.where(
+                attrs[:, -1:] > 3.0,
+                attrs[:, -1:],  # softplus ~ identity for large inputs
+                np.log(np.expm1(np.maximum(attrs[:, -1:], 1e-4) * 10.0))
+                / 10.0,
+            )
         ),
         "att_dc": jnp.asarray(attrs[:, :3]),
         "att_sh": jnp.asarray(attrs[:, 3 : 3 * D]),
@@ -81,7 +89,7 @@ def main():
 
     rcfg = R.RasterConfig(
         sh_degree=SH, weight_threshold=1e-3, tile=16,
-        max_pairs=1 << 22, alpha_cull=0.0, table_k=K, reorder_window=0,
+        max_pairs=args.cap, alpha_cull=0.0, table_k=K, reorder_window=0,
     )
     scfg = RasterStepConfig(rcfg, 1.0, jnp.float32, True, W, H)
     step = make_raster_train_step(scfg)
@@ -108,5 +116,115 @@ def main():
     print(f"loss={float(m['loss']):.4f}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2
+                              or sys.argv[1] != "iso"):
     main()
+    sys.exit(0)
+
+
+def isolate():
+    """--mode fwd|comp: isolate render_train forward vs composite grad."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="fwd", choices=["fwd", "comp"])
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--cap", type=int, default=1703936)
+    ap.add_argument("--reps", type=int, default=3)
+    args, _ = ap.parse_known_args(sys.argv[2:])
+    W, H = args.width, args.height
+
+    import bench
+    from radfoam_tpu.ops import raster as R
+    from radfoam_tpu.ops import raster_grad as RG
+    from radfoam_tpu.ops.camera import look_at
+    from radfoam_tpu.ops.cellbound import clamp_bounds
+
+    SH = 3
+    pts, attrs, table, bb_min, bb_max = bench.build_scene()
+    bb_min, bb_max, _ = clamp_bounds(pts, bb_min, bb_max)
+    N, K = pts.shape[0], int(table.shape[1])
+    A = attrs.shape[1]
+    Q = 2
+    cfg = R.RasterConfig(
+        sh_degree=SH, weight_threshold=1e-3, tile=16,
+        max_pairs=args.cap, alpha_cull=0.0, table_k=K, reorder_window=0,
+    )
+    ntx, nty = R._grid_shape(W, H, cfg.tile)
+    P = cfg.tile * cfg.tile
+    eye = np.array([4.5, 0.0, 1.5])
+    cam = look_at(eye, [0, 0, 0], [0, 0, 1], fov=1.0, width=W, height=H)
+    pos, fwd, rgt, up = [jnp.asarray(np.asarray(x, np.float32)) for x in
+                         (cam.position, cam.forward, cam.right, cam.up)]
+    intrin = tuple(
+        jnp.float32(v) for v in R.fov_intrin(1.0, width=W, height=H)
+    )
+    rng = np.random.default_rng(0)
+    qlv = jnp.asarray(-np.sort(
+        -rng.uniform(0.02, 0.98, (ntx * nty, Q, P)), axis=1
+    ).astype(np.float32))
+    pts_d = jnp.asarray(pts)
+    attrs_d = jnp.asarray(attrs)
+    nbr_d = jnp.asarray(table)
+    b0, b1 = jnp.asarray(bb_min), jnp.asarray(bb_max)
+
+    if args.mode == "fwd":
+        f = jax.jit(lambda p, a, nb, c0, c1, q: RG.render_train(
+            p, a, nb, c0, c1, pos, fwd, rgt, up, intrin, q,
+            width=W, height=H, cfg=cfg)[0])
+        f = partial(f, nb=nbr_d, c0=b0, c1=b1, q=qlv)
+        t0 = time.time()
+        out = f(pts_d, attrs_d)
+        _ = jax.device_get(out[:2, :2])
+        print(f"fwd compile+run {time.time()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = f(pts_d, attrs_d)
+            _ = jax.device_get(out[:2, :2])
+        print(f"render_train fwd: "
+              f"{(time.perf_counter()-t0)/args.reps*1000:.0f} ms",
+              flush=True)
+    else:
+        # precompute rows once, grad through the composite only
+        tbl = jax.jit(lambda p, a, nb, c0, c1: R.build_scene_table(
+            p, a, nb, c0, c1, sh_degree=SH))(pts_d, attrs_d, nbr_d, b0,
+                                             b1)
+        _ = jax.device_get(tbl[:2, :2])
+        cell_s, _k, starts, n_pairs = jax.jit(
+            lambda c0, c1, dd: R.bin_pairs(c0, c1, dd, pos, fwd, rgt,
+                                           up, intrin, width=W, height=H,
+                                           cfg=cfg))(b0, b1,
+                                                     attrs_d[:, -1])
+        cell_p, nstarts, lens = jax.jit(
+            lambda cs, st: R.relayout_pairs(cs, st, width=W, height=H,
+                                            cfg=cfg))(cell_s, starts)
+        rows = jax.jit(lambda t, c: jnp.take(t, c, axis=0))(tbl, cell_p)
+        _ = jax.device_get(rows[:2, :2])
+        print(f"n_pairs={int(n_pairs)} cap={args.cap}", flush=True)
+        camv = jnp.concatenate(
+            [pos, fwd, rgt, up]
+            + [jnp.reshape(v, (1,)) for v in intrin])
+        comp = RG._make_composite_train(W, H, cfg, K, A, Q)
+
+        def loss(r, ns, ls, cv, q):
+            tiles = comp(r, ns, ls, cv, q)
+            return jnp.sum(tiles[:, :4] * 1e-3)
+
+        g0 = jax.jit(jax.grad(loss))
+        g = lambda r: g0(r, nstarts, lens, camv, qlv)
+        t0 = time.time()
+        out = g(rows)
+        _ = jax.device_get(out[:2, :2])
+        print(f"comp grad compile+run {time.time()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = None
+            out = g(rows)
+            _ = jax.device_get(out[:2, :2])
+        print(f"composite fwd+bwd: "
+              f"{(time.perf_counter()-t0)/args.reps*1000:.0f} ms",
+              flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "iso":
+    isolate()
+    sys.exit(0)
