@@ -66,6 +66,12 @@ class RasterConfig(NamedTuple):
     # list order (fast, approximate where bounding spheres overlap).
     reorder_window: int = 8
     interpret: bool = False  # run the Pallas kernel in interpreter mode
+    # training only: per pair, neighbor-position gradients are emitted for
+    # the grad_planes highest-|dv| planes instead of all K (the reference
+    # backward also touches only selected faces, pipeline.cu atomicAdd
+    # targets) — this turns the N*K scatter wall (~13 s at 2M points)
+    # into a pairs*S scatter (~1 s). Set to the table's K for exactness.
+    grad_planes: int = 8
 
 
 def pack_raster_table(points, attrs, nbr_idx):
@@ -1095,7 +1101,8 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
 
 
 def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,
-                      sh_degree, dtype=jnp.float32, chunks=None):
+                      sh_degree, dtype=jnp.float32, chunks=None,
+                      with_nbr_ids=False):
     """Fused one-pass equivalent of
     build_row_table(pack_raster_table(...), ...).
 
@@ -1124,7 +1131,7 @@ def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,
                 pts_c, attrs_c, nbr_c, bmin_c, bmax_c = args
                 return _build_block(
                     points, pts_c, attrs_c, nbr_c, bmin_c, bmax_c,
-                    dtype=dtype,
+                    dtype=dtype, with_nbr_ids=with_nbr_ids,
                 )
 
             blocks = jax.lax.map(
@@ -1139,11 +1146,11 @@ def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,
             )
             return blocks.reshape(N, blocks.shape[-1])
     return _build_block(points, points, attrs, nbr_idx, bb_min, bb_max,
-                        dtype=dtype)
+                        dtype=dtype, with_nbr_ids=with_nbr_ids)
 
 
 def _build_block(all_points, points, attrs, nbr_idx, bb_min, bb_max, *,
-                 dtype):
+                 dtype, with_nbr_ids=False):
     """One block of build_scene_table (points etc. are the block's rows;
     all_points backs the neighbor gather)."""
     all_points = all_points.astype(jnp.float32)
@@ -1175,7 +1182,14 @@ def _build_block(all_points, points, attrs, nbr_idx, bb_min, bb_max, *,
     else:
         p_hi = points
         p_lo = jnp.zeros_like(points)
-    W_used = 3 + 3 * K + A + 8
+    # training tables carry neighbor ids (exact in f32 for N < 2^24) so
+    # the backward kernel can emit per-plane gradients addressed by point
+    # — for K=72/sh3 they fit inside the existing 128-pad for free
+    nbr_cols = (
+        [jax.lax.stop_gradient(nbr_idx).astype(jnp.float32)]
+        if with_nbr_ids else []
+    )
+    W_used = 3 + 3 * K + A + 8 + (K if with_nbr_ids else 0)
     W_pad = -(-W_used // 128) * 128
     table = jnp.concatenate(
         [
@@ -1189,8 +1203,9 @@ def _build_block(all_points, points, attrs, nbr_idx, bb_min, bb_max, *,
             e_norm,
             deg,
             p_lo,
-            jnp.zeros((N, W_pad - W_used), jnp.float32),
-        ],
+        ]
+        + nbr_cols
+        + [jnp.zeros((N, W_pad - W_used), jnp.float32)],
         axis=1,
     ).astype(dtype)
     return table

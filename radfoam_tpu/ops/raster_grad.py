@@ -222,22 +222,33 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
 def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                                 starts_ref, lens_ref, cam_ref, rows_hbm,
                                 qlv_ref, fwd_ref, g_ref, nlive_ref,
-                                drows_hbm, buf, sems, dbuf, osems):
-    """Backward: reverse sweep emitting per-pair row grads to HBM.
+                                drows_hbm, dnbr_hbm, buf, sems, dbuf,
+                                osems, nbuf, nsems):
+    """Backward: reverse sweep emitting per-pair grads to HBM.
+
+    drows carries the per-pair row-table cotangent EXCEPT the neighbor
+    offsets; those route through the compact dnbr channel instead: per
+    pair, the cfg.grad_planes highest-|dv| planes' (neighbor id, dv)
+    — turning the dense N*K scatter (TPU vector-scatter wall, ~13 s at
+    2M points) into a pairs*S scatter. The own-cell side of every dv
+    (d p = -sum_k dv_k) is folded into the position columns exactly, so
+    only sub-top-S NEIGHBOR contributions are dropped (the reference
+    backward likewise touches only selected faces).
 
     Every chunk in this tile's [start, start + cdiv(length, CE) * CE)
-    range is written (zeros for chunks past the live prefix), so drows
-    needs no host-side init inside tile ranges; the tail beyond the last
-    tile's range is masked by the caller.
+    range is written (zeros for chunks past the live prefix), including
+    the tail beyond the last tile's range.
     """
     TS = cfg.tile
     P = TS * TS
     CE = cfg.entry_chunk
+    S = min(cfg.grad_planes, K)
     deg_col = 3 + 3 * K + A + 4
     D = (A - 1) // 3
     base = 3 + 3 * K
     Wt = base + A
     Wrow = dbuf.shape[2]
+    Wnb = nbuf.shape[2]
 
     t_id = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t_id], CE)
@@ -284,6 +295,13 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             osems.at[slot],
         )
 
+    def put_nbr(slot, c):
+        return pltpu.make_async_copy(
+            nbuf.at[slot],
+            dnbr_hbm.at[pl.ds(start + c * CE, CE)],
+            nsems.at[slot],
+        )
+
     @pl.when(n_cl > 0)
     def _():
         get_dma((n_cl - 1) % 2, n_cl - 1).start()
@@ -292,13 +310,15 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
         (c, T_cur, S_r, S_g, S_b, cdg) = state
         slot = c % 2
 
-        # a put issued two iterations ago reused this dbuf slot — drain it
+        # puts issued two iterations ago reused these slots — drain them
         @pl.when(c + 2 < n_ct)
         def _():
             put_dma(slot, c + 2).wait()
+            put_nbr(slot, c + 2).wait()
 
         def zero_chunk():
             dbuf[slot] = jnp.zeros((CE, Wrow), jnp.float32)
+            nbuf[slot] = jnp.zeros((CE, Wnb), jnp.float32)
             return (T_cur, S_r, S_g, S_b, cdg)
 
         def live_chunk():
@@ -311,6 +331,7 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             pre = _chunk_precompute(chunk_t, origin, basis, K, A)
             degm = jnp.max(chunk_t[deg_col : deg_col + 1])
             vx, vy, vz, _num, sig_row, _key, rgb = pre
+            nbrf = chunk_t[Wt + 8 : Wt + 8 + K]  # (K, CE) neighbor ids
             pxr = chunk_t[0:1] + chunk_t[Wt + 5 : Wt + 6]  # (1, CE)
             pyr = chunk_t[1:2] + chunk_t[Wt + 6 : Wt + 7]
             pzr = chunk_t[2:3] + chunk_t[Wt + 7 : Wt + 8]
@@ -424,6 +445,13 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                 dvy = jnp.concatenate([b[1] for b in dv_blocks], axis=0)
                 dvz = jnp.concatenate([b[2] for b in dv_blocks], axis=0)
 
+                # own-cell side of the offset grads (off = q - p):
+                # d p -= sum_k dv_k, folded into the position columns
+                dpx = dpx - jnp.sum(dvx, axis=0, keepdims=True)
+                dpy = dpy - jnp.sum(dvy, axis=0, keepdims=True)
+                dpz = dpz - jnp.sum(dvz, axis=0, keepdims=True)
+
+
                 dsig = jax.lax.dot_general(
                     jnp.where(live, dod * seg * unclamped, 0.0) + ds_q,
                     ones_1p, (((1,), (1,)), ((), ())),
@@ -465,11 +493,6 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                                 axis=0)
             )  # (CE, 3)
             dbuf[slot, :, 0:3] = dp_t
-            dbuf[slot, :, 3 : 3 + K] = _mxu_transpose(blk["dvx"])
-            dbuf[slot, :, 3 + K : 3 + 2 * K] = _mxu_transpose(blk["dvy"])
-            dbuf[slot, :, 3 + 2 * K : 3 + 3 * K] = _mxu_transpose(
-                blk["dvz"]
-            )
             for ch in range(3):
                 dbuf[slot, :, base + ch * D : base + (ch + 1) * D] = (
                     _mxu_transpose(blk[f"dc{ch}"])
@@ -478,12 +501,51 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                 _mxu_transpose(blk["dsig"])
             )
             dbuf[slot, :, Wt + 5 : Wt + 8] = dp_t  # p_lo mirrors p_hi
+            # compact neighbor channel: [ids(S) | dvx(S) | dvy(S) | dvz(S)]
+            # — the per-entry rows are already row-major, no transpose
+            # chunk-level top-S: select each entry's S highest-|dv|
+            # planes over the whole (K, CE) block at once — per-entry
+            # sublane reductions on (K, 1) vectors were the dominant bwd
+            # cost (1/128 lane utilization); here every reduction covers
+            # all CE entries
+            dvx_a = blk["dvx"]
+            dvy_a = blk["dvy"]
+            dvz_a = blk["dvz"]
+            mag = jnp.abs(dvx_a) + jnp.abs(dvy_a) + jnp.abs(dvz_a)
+            kio = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+            pieces = []  # 4S x (1, CE), slot-major [ids | vx | vy | vz]
+            for _s in range(S):
+                m = jnp.max(mag, axis=0, keepdims=True)  # (1, CE)
+                cand = mag == m
+                kfirst = jnp.min(
+                    jnp.where(cand, kio, K), axis=0, keepdims=True
+                )
+                sel = (cand & (kio == kfirst)).astype(jnp.float32)
+                pieces.append((
+                    jnp.sum(nbrf * sel, axis=0, keepdims=True),
+                    jnp.sum(dvx_a * sel, axis=0, keepdims=True),
+                    jnp.sum(dvy_a * sel, axis=0, keepdims=True),
+                    jnp.sum(dvz_a * sel, axis=0, keepdims=True),
+                ))
+                mag = jnp.where(sel > 0.0, -1.0, mag)
+            s4sub = jax.lax.broadcasted_iota(
+                jnp.int32, (4 * S, 1), 0
+            )
+            big = jnp.zeros((4 * S, CE), jnp.float32)
+            for _s, pc in enumerate(pieces):
+                for comp in range(4):
+                    big = big + jnp.where(
+                        s4sub == comp * S + _s, pc[comp], 0.0
+                    )
+            nbuf[slot] = jnp.zeros((CE, Wnb), jnp.float32)
+            nbuf[slot, :, 0 : 4 * S] = _mxu_transpose(big)
             return (T_c, Sr, Sg, Sb, cd)
 
         T_cur, S_r, S_g, S_b, cdg = jax.lax.cond(
             c < n_cl, live_chunk, zero_chunk
         )
         put_dma(slot, c).start()
+        put_nbr(slot, c).start()
         return (c - 1, T_cur, S_r, S_g, S_b, cdg)
 
     def cond(state):
@@ -493,14 +555,16 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
     state0 = (n_ct - 1, T_end, z, z, z, z)
     jax.lax.while_loop(cond, body, state0)
 
-    # drain the last (up to) two outstanding puts
+    # drain the last (up to) two outstanding put pairs
     @pl.when(n_ct > 1)
     def _():
         put_dma(1, 1).wait()
+        put_nbr(1, 1).wait()
 
     @pl.when(n_ct > 0)
     def _():
         put_dma(0, 0).wait()
+        put_nbr(0, 0).wait()
 
     # the tail [nstarts[n_tiles], Mp) belongs to no tile: the last grid
     # step zeroes it in place so the caller needs no masking copy (a
@@ -512,6 +576,7 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
         tail0 = pl.multiple_of(starts_ref[n_tiles], CE)
         n_tail = (drows_hbm.shape[0] - tail0) // CE
         dbuf[0] = jnp.zeros((CE, Wrow), jnp.float32)
+        nbuf[0] = jnp.zeros((CE, Wnb), jnp.float32)
 
         def tbody(i, _):
             cp = pltpu.make_async_copy(
@@ -520,18 +585,40 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                 osems.at[0],
             )
             cp.start()
+            cn = pltpu.make_async_copy(
+                nbuf.at[0],
+                dnbr_hbm.at[pl.ds(tail0 + i * CE, CE)],
+                nsems.at[0],
+            )
+            cn.start()
             cp.wait()
+            cn.wait()
             return 0
 
         jax.lax.fori_loop(0, n_tail, tbody, 0)
 
 
 @lru_cache(maxsize=8)
-def _make_composite_train(width, height, cfg, K, A, Q):
-    """Build the custom-vjp composite for a static configuration."""
+def _make_render_core(width, height, cfg, K, A, Q, N):
+    """Custom-vjp differentiable render core over (points, attrs).
+
+    The VJP is fully manual: forward builds the row table (with neighbor
+    ids) OUTSIDE autodiff — so its narrow concat operands fuse like the
+    inference path instead of becoming (N, 128)-padded residuals — and
+    backward chains the reverse-sweep kernel's outputs by hand:
+      drows --scatter by pair--> d_table --dense slices--> d_points,
+      d_attrs;  dnbr (top-S planes) --scatter by neighbor id--> d_points.
+    This replaces both the jnp.take VJP and the table-build VJP, whose
+    dense N*K neighbor scatter is the TPU wall (DEVNOTES: 12.9 s at 2M).
+    """
     ntx, nty = _grid_shape(width, height, cfg.tile)
     n_tiles = ntx * nty
     P = cfg.tile * cfg.tile
+    S = min(cfg.grad_planes, K)
+    Wnb = -(-(4 * S) // 128) * 128
+    D = (A - 1) // 3
+    base = 3 + 3 * K
+    Wt = base + A
     interpret = cfg.interpret or jax.default_backend() == "cpu"
 
     if cfg.max_pairs % cfg.entry_chunk:
@@ -594,50 +681,98 @@ def _make_composite_train(width, height, cfg, K, A, Q):
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # drows stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # dnbr stays in HBM
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, cfg.entry_chunk, Wrow), rows.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((2, cfg.entry_chunk, Wrow), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, cfg.entry_chunk, Wnb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         # alias rows -> drows: every chunk region is DMA-read strictly
         # before its gradient chunk is written back (and zero-chunks are
-        # never read), so the 3.3 GB rows residual is reused in place —
-        # the difference between the 2M train step fitting HBM or not.
+        # never read), so the rows residual is reused in place — the
+        # difference between the 2M train step fitting HBM or not.
         # Input index 3 = rows in (nstarts, lens, cam, rows, ...).
         alias = {} if rows.dtype != jnp.float32 else {3: 0}
-        drows = pl.pallas_call(
+        drows, dnbr = pl.pallas_call(
             bwd_kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((Mp, Wrow), jnp.float32),
+                jax.ShapeDtypeStruct((Mp, Wnb), jnp.float32),
             ],
             input_output_aliases=alias,
             interpret=interpret,
-        )(nstarts, lens, cam, rows, qlv, tiles, g_tiles, nlive)[0]
-        return drows
+        )(nstarts, lens, cam, rows, qlv, tiles, g_tiles, nlive)
+        return drows, dnbr
+
+    def fwd_only(points, attrs, nbr_idx, bb_min, bb_max, cell_p, nstarts,
+                 lens, cam, qlv):
+        table = build_scene_table(
+            points, attrs, nbr_idx, bb_min, bb_max,
+            sh_degree=cfg.sh_degree, with_nbr_ids=True,
+        )
+        rows = jnp.take(table, cell_p, axis=0)
+        return run_fwd(rows, nstarts, lens, cam, qlv), rows
 
     @jax.custom_vjp
-    def composite_train(rows, nstarts, lens, cam, qlv):
-        tiles, _ = run_fwd(rows, nstarts, lens, cam, qlv)
+    def render_core(points, attrs, nbr_idx, bb_min, bb_max, cell_p,
+                    nstarts, lens, cam, qlv):
+        (tiles, _), _rows = fwd_only(points, attrs, nbr_idx, bb_min,
+                                     bb_max, cell_p, nstarts, lens, cam,
+                                     qlv)
         return tiles
 
-    def composite_fwd(rows, nstarts, lens, cam, qlv):
-        tiles, nlive = run_fwd(rows, nstarts, lens, cam, qlv)
-        return tiles, (rows, nstarts, lens, cam, qlv, tiles, nlive)
+    def core_fwd(points, attrs, nbr_idx, bb_min, bb_max, cell_p, nstarts,
+                 lens, cam, qlv):
+        (tiles, nlive), rows = fwd_only(points, attrs, nbr_idx, bb_min,
+                                        bb_max, cell_p, nstarts, lens,
+                                        cam, qlv)
+        return tiles, (rows, cell_p, nstarts, lens, cam, qlv, tiles,
+                       nlive)
 
-    def composite_bwd(res, g_tiles):
-        rows, nstarts, lens, cam, qlv, tiles, nlive = res
-        drows = run_bwd(rows, nstarts, lens, cam, qlv, tiles, nlive,
-                        g_tiles)
+    def core_bwd(res, g_tiles):
+        rows, cell_p, nstarts, lens, cam, qlv, tiles, nlive = res
+        Wrow = rows.shape[1]
+        drows, dnbr = run_bwd(rows, nstarts, lens, cam, qlv, tiles,
+                              nlive, g_tiles)
+        # per-pair row grads -> per-cell table grads (87 ms at 2.5M pairs)
+        dtable = jnp.zeros((N, Wrow), jnp.float32).at[cell_p].add(drows)
+        # manual build-VJP: dense slices (the offset columns are zero by
+        # construction — their gradient rides the dnbr channel). p enters
+        # the row as p_hi + p_lo with IDENTICAL cotangents in both column
+        # groups, and d p = that cotangent ONCE (p_lo = p - p_hi has zero
+        # net sensitivity) — so read only the p_hi slice.
+        d_points = dtable[:, 0:3]
+        d_sh = (
+            dtable[:, base : base + 3 * D]
+            .reshape(N, 3, D).transpose(0, 2, 1).reshape(N, 3 * D)
+        )
+        d_attrs = jnp.concatenate(
+            [d_sh, dtable[:, base + 3 * D : base + 3 * D + 1]], axis=1
+        )
+        # compact neighbor-offset grads: pairs*S rows instead of N*K
+        ids = dnbr[:, 0:S].astype(jnp.int32).reshape(-1)
+        vals = jnp.stack(
+            [dnbr[:, S : 2 * S], dnbr[:, 2 * S : 3 * S],
+             dnbr[:, 3 * S : 4 * S]],
+            axis=-1,
+        ).reshape(-1, 3)
+        d_points = d_points.at[ids].add(vals)
+
         zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-        return (drows.astype(rows.dtype), zero_i(nstarts), zero_i(lens),
-                jnp.zeros_like(cam), jnp.zeros_like(qlv))
+        return (d_points, d_attrs, zero_i(jnp.zeros((N, K), jnp.int32)),
+                jnp.zeros((N, 3), jnp.float32),
+                jnp.zeros((N, 3), jnp.float32), zero_i(cell_p),
+                zero_i(nstarts), zero_i(lens), jnp.zeros_like(cam),
+                jnp.zeros_like(qlv))
 
-    composite_train.defvjp(composite_fwd, composite_bwd)
-    return composite_train
+    render_core.defvjp(core_fwd, core_bwd)
+    return render_core
 
 
 def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
@@ -646,19 +781,20 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
 
     points (N, 3), attrs (N, A) ACTIVATED attributes, nbr_idx (N, K)
     padded adjacency (static per triangulation), bb_min/bb_max (N, 3)
-    clamped cell bounds (culling/sort only — stop-gradiented), camera
+    clamped cell bounds (culling/sort only — non-differentiable), camera
     basis + intrin (raster.fov_intrin / dataset_intrin 4-tuple),
-    qlv_tiles (n_tiles, Q, P) per-pixel transmittance
-    quantile levels (descending along Q to match train.py:176-180).
+    qlv_tiles (n_tiles, Q, P) per-pixel transmittance quantile levels
+    (descending along Q to match train.py:176-180).
 
     Returns ((H, W, 4 + Q) rgba + quantile-depth image, n_pairs).
-    Gradients flow to points (through own position, every neighbor
-    offset, and the hi/lo table split) and attrs; everything else is
-    non-differentiable selection.
+    Gradients flow to points (own position, the own-cell side of every
+    plane offset, the hi/lo table split, and the cfg.grad_planes
+    top-|dv| neighbor contributions per pair) and attrs.
     """
     A = attrs.shape[1]
     K = nbr_idx.shape[1]
     Q = qlv_tiles.shape[1]
+    N = points.shape[0]
     sg = jax.lax.stop_gradient
 
     cell_s, _key, starts, n_pairs = bin_pairs(
@@ -668,34 +804,14 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
     cell_p, nstarts, lens = relayout_pairs(
         cell_s, starts, width=width, height=height, cfg=cfg
     )
-    cell_p = sg(cell_p)
-
-    # table build + gather under jax.checkpoint: under autodiff XLA must
-    # otherwise materialize the build's narrow (N, 1..72) concat operands
-    # as residuals, and TPU tiled layouts pad each to (N, 128) — measured
-    # ~8 GB of pure padding at 2M points (45% HBM utilization). Remat
-    # keeps them fused in both passes; the only residuals are
-    # (points, attrs, indices). Uses the fused one-pass builder
-    # (raster.build_scene_table) for the same reason.
-    n_chunks = next(
-        (c for c in (16, 8, 4, 2) if points.shape[0] % c == 0), None
-    )
-
-    @jax.checkpoint
-    def _rows_fn(pts_, attrs_):
-        tb = build_scene_table(pts_, attrs_, nbr_idx, sg(bb_min),
-                               sg(bb_max), sh_degree=cfg.sh_degree,
-                               chunks=n_chunks)
-        return jnp.take(tb, cell_p, axis=0)
-
-    rows = _rows_fn(points, attrs)
 
     cam = jnp.concatenate(
         [pos, fwd, rgt, up]
         + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
     ).astype(jnp.float32)
 
-    comp = _make_composite_train(width, height, cfg, K, A, Q)
-    tiles = comp(rows, nstarts, lens, sg(cam), sg(qlv_tiles))
+    core = _make_render_core(width, height, cfg, K, A, Q, N)
+    tiles = core(points, attrs, nbr_idx, sg(bb_min), sg(bb_max),
+                 sg(cell_p), nstarts, lens, sg(cam), sg(qlv_tiles))
     img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
     return img, n_pairs

@@ -197,30 +197,29 @@ def isolate():
         cell_p, nstarts, lens = jax.jit(
             lambda cs, st: R.relayout_pairs(cs, st, width=W, height=H,
                                             cfg=cfg))(cell_s, starts)
-        rows = jax.jit(lambda t, c: jnp.take(t, c, axis=0))(tbl, cell_p)
-        _ = jax.device_get(rows[:2, :2])
         print(f"n_pairs={int(n_pairs)} cap={args.cap}", flush=True)
         camv = jnp.concatenate(
             [pos, fwd, rgt, up]
             + [jnp.reshape(v, (1,)) for v in intrin])
-        comp = RG._make_composite_train(W, H, cfg, K, A, Q)
+        core = RG._make_render_core(W, H, cfg, K, A, Q, N)
 
-        def loss(r, ns, ls, cv, q):
-            tiles = comp(r, ns, ls, cv, q)
+        def loss(p, a, nb, c0, c1, cp, ns, ls, cv, q):
+            tiles = core(p, a, nb, c0, c1, cp, ns, ls, cv, q)
             return jnp.sum(tiles[:, :4] * 1e-3)
 
-        g0 = jax.jit(jax.grad(loss))
-        g = lambda r: g0(r, nstarts, lens, camv, qlv)
+        g0 = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        g = lambda: g0(pts_d, attrs_d, nbr_d, b0, b1, cell_p, nstarts,
+                       lens, camv, qlv)
         t0 = time.time()
-        out = g(rows)
-        _ = jax.device_get(out[:2, :2])
-        print(f"comp grad compile+run {time.time()-t0:.1f}s", flush=True)
+        out = g()
+        _ = jax.device_get(out[0][:2, :2])
+        print(f"core grad compile+run {time.time()-t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             out = None
-            out = g(rows)
-            _ = jax.device_get(out[:2, :2])
-        print(f"composite fwd+bwd: "
+            out = g()
+            _ = jax.device_get(out[0][:2, :2])
+        print(f"render-core fwd+bwd: "
               f"{(time.perf_counter()-t0)/args.reps*1000:.0f} ms",
               flush=True)
 
