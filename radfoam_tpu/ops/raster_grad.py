@@ -342,8 +342,12 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             # Mosaic rejects sublane concatenation of mixed-layout
             # single-lane columns, so assembly is block-wise instead
             acc = {k: [None] * CE for k in
-                   ("dpx", "dpy", "dpz", "dvx", "dvy", "dvz",
-                    "dc0", "dc1", "dc2", "dsig")}
+                   ("dpx", "dpy", "dpz", "dvx", "dvy", "dvz")}
+            num_pre = pre[3]  # (K, CE) plane numerators
+            dnum_l = [None] * CE
+            dden_l = [None] * CE
+            integ_l = [None] * CE
+            wg_l = [[None] * CE for _ in range(3)]
             for e in reversed(range(CE)):
                 t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
                 seg = jnp.where(
@@ -387,101 +391,88 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                 dt_out = dseg
                 dt_in = -dseg + jnp.where(t_in > 0.0, g_hit_sum, 0.0)
 
-                # second blocked pass: per-plane grads only for blocks
-                # inside the chunk's max degree (same skip as the
-                # interval pass — the divides dominate at K >> mean deg)
-                px = pxr[0:1, e : e + 1]
-                py = pyr[0:1, e : e + 1]
-                pz = pzr[0:1, e : e + 1]
-                dv_blocks = []
-                dpx = jnp.zeros((1, 1), jnp.float32)
-                dpy = jnp.zeros((1, 1), jnp.float32)
-                dpz = jnp.zeros((1, 1), jnp.float32)
-                for kb in range(0, K, _KB):
-                    vx_b = vx[kb : kb + _KB, e : e + 1]
-                    vy_b = vy[kb : kb + _KB, e : e + 1]
-                    vz_b = vz[kb : kb + _KB, e : e + 1]
-
-                    def grads_b(kb=kb, vx_b=vx_b, vy_b=vy_b, vz_b=vz_b):
-                        den_b, t_b = _block_dent(pre, e, dir_rows, kb)
-                        so = (den_b > 0.0) & (t_b == t_out)
-                        si = (den_b < 0.0) & (t_b == t_in) & (t_in > 0.0)
-                        dnum_b = jnp.where(so, dt_out / den_b, 0.0) \
-                            + jnp.where(si, dt_in / den_b, 0.0)
-                        dden_b = jnp.where(so | si, -dnum_b * t_b, 0.0)
-                        s_dnum = jax.lax.dot_general(
-                            dnum_b, ones_1p, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (_KB, 1)
-                        s_dden = jax.lax.dot_general(
-                            dden_b, dmat, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (_KB, 3)
-                        dvx_b = s_dnum * ((px - ox) + vx_b) \
-                            + s_dden[:, 0:1]
-                        dvy_b = s_dnum * ((py - oy) + vy_b) \
-                            + s_dden[:, 1:2]
-                        dvz_b = s_dnum * ((pz - oz) + vz_b) \
-                            + s_dden[:, 2:3]
-                        dpx_b = jnp.sum(s_dnum * vx_b, axis=0,
-                                        keepdims=True)
-                        dpy_b = jnp.sum(s_dnum * vy_b, axis=0,
-                                        keepdims=True)
-                        dpz_b = jnp.sum(s_dnum * vz_b, axis=0,
-                                        keepdims=True)
-                        return dvx_b, dvy_b, dvz_b, dpx_b, dpy_b, dpz_b
-
-                    def zeros_b():
-                        z81 = jnp.zeros((_KB, 1), jnp.float32)
-                        z11 = jnp.zeros((1, 1), jnp.float32)
-                        return z81, z81, z81, z11, z11, z11
-
-                    out_b = jax.lax.cond(kb < degm, grads_b, zeros_b)
-                    dv_blocks.append(out_b[:3])
-                    dpx = dpx + out_b[3]
-                    dpy = dpy + out_b[4]
-                    dpz = dpz + out_b[5]
-                dvx = jnp.concatenate([b[0] for b in dv_blocks], axis=0)
-                dvy = jnp.concatenate([b[1] for b in dv_blocks], axis=0)
-                dvz = jnp.concatenate([b[2] for b in dv_blocks], axis=0)
-
-                # own-cell side of the offset grads (off = q - p):
-                # d p -= sum_k dv_k, folded into the position columns
-                dpx = dpx - jnp.sum(dvx, axis=0, keepdims=True)
-                dpy = dpy - jnp.sum(dvy, axis=0, keepdims=True)
-                dpz = dpz - jnp.sum(dvz, axis=0, keepdims=True)
-
-
-                dsig = jax.lax.dot_general(
-                    jnp.where(live, dod * seg * unclamped, 0.0) + ds_q,
-                    ones_1p, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (1, 1)
-
-                dcoef = [
-                    jax.lax.dot_general(
-                        basis,
-                        jnp.where(
-                            (rgb[ch][e : e + 1] > 0.0) & color_on,
-                            w * g, 0.0,
-                        ),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (D, 1)
-                    for ch, g in ((0, g_r), (1, g_g), (2, g_b))
-                ]
-
-                for k, v in (("dpx", dpx), ("dpy", dpy), ("dpz", dpz),
-                             ("dvx", dvx), ("dvy", dvy), ("dvz", dvz),
-                             ("dc0", dcoef[0]), ("dc1", dcoef[1]),
-                             ("dc2", dcoef[2]), ("dsig", dsig)):
-                    acc[k][e] = v
+                # per-plane cotangents, full K (the MXU reductions are
+                # deferred and chunk-batched below — per-entry dot issues
+                # dominated this kernel at ~18/entry)
+                den = (
+                    vx[:, e : e + 1] * dirx + vy[:, e : e + 1] * diry
+                    + vz[:, e : e + 1] * dirz
+                )  # (K, P)
+                den_s = jnp.where(den == 0.0, 1.0, den)
+                t = num_pre[:, e : e + 1] / den_s
+                so = (den > 0.0) & (t == t_out)
+                si = (den < 0.0) & (t == t_in) & (t_in > 0.0)
+                dnum = (
+                    jnp.where(so, dt_out, 0.0) + jnp.where(si, dt_in, 0.0)
+                ) / den_s
+                dden = jnp.where(so | si, -dnum * t, 0.0)
+                dnum_l[e] = dnum
+                dden_l[e] = dden
+                integ_l[e] = (
+                    jnp.where(live, dod * seg * unclamped, 0.0) + ds_q
+                )
+                for ch, g in ((0, g_r), (1, g_g), (2, g_b)):
+                    wg_l[ch][e] = jnp.where(
+                        (rgb[ch][e : e + 1] > 0.0) & color_on, w * g, 0.0
+                    )
 
                 Sr = Sr + w * c_r
                 Sg = Sg + w * c_g
                 Sb = Sb + w * c_b
                 cd = cd + g_hit_sum / jnp.maximum(sig_e, 1e-30)
                 T_c = T_prev
+
+            # chunk-batched MXU reductions: ONE pair of dots over the
+            # stacked (CE*K, P) plane cotangents and one per SH channel
+            # over the stacked (CE, P) integrands
+            dnum_all = jnp.concatenate(dnum_l, axis=0)  # (CE*K, P)
+            dden_all = jnp.concatenate(dden_l, axis=0)
+            s_dnum_all = jax.lax.dot_general(
+                dnum_all, ones_1p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CE*K, 1)
+            s_dden_all = jax.lax.dot_general(
+                dden_all, dmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CE*K, 3)
+            integ_all = jnp.concatenate(integ_l, axis=0)  # (CE, P)
+            dsig_blk = jax.lax.dot_general(
+                ones_1p, integ_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, CE)
+            dcoef_blk = [
+                jax.lax.dot_general(
+                    basis, jnp.concatenate(wg_l[ch], axis=0),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (D, CE)
+                for ch in range(3)
+            ]
+            for e in range(CE):
+                s_dnum = s_dnum_all[e * K : (e + 1) * K]
+                s_dden = s_dden_all[e * K : (e + 1) * K]
+                vxe = vx[:, e : e + 1]
+                vye = vy[:, e : e + 1]
+                vze = vz[:, e : e + 1]
+                px = pxr[0:1, e : e + 1]
+                py = pyr[0:1, e : e + 1]
+                pz = pzr[0:1, e : e + 1]
+                dvx = s_dnum * ((px - ox) + vxe) + s_dden[:, 0:1]
+                dvy = s_dnum * ((py - oy) + vye) + s_dden[:, 1:2]
+                dvz = s_dnum * ((pz - oz) + vze) + s_dden[:, 2:3]
+                # explicit num term + own-cell side of off = q - p
+                acc["dpx"][e] = jnp.sum(
+                    s_dnum * vxe - dvx, axis=0, keepdims=True
+                )
+                acc["dpy"][e] = jnp.sum(
+                    s_dnum * vye - dvy, axis=0, keepdims=True
+                )
+                acc["dpz"][e] = jnp.sum(
+                    s_dnum * vze - dvz, axis=0, keepdims=True
+                )
+                acc["dvx"][e] = dvx
+                acc["dvy"][e] = dvy
+                acc["dvz"][e] = dvz
 
             # block-wise assembly: lane-concat each component's columns
             # to (rows, CE), MXU-transpose to (CE, rows), store into the
@@ -495,10 +486,10 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             dbuf[slot, :, 0:3] = dp_t
             for ch in range(3):
                 dbuf[slot, :, base + ch * D : base + (ch + 1) * D] = (
-                    _mxu_transpose(blk[f"dc{ch}"])
+                    _mxu_transpose(dcoef_blk[ch])
                 )
             dbuf[slot, :, base + 3 * D : base + 3 * D + 1] = (
-                _mxu_transpose(blk["dsig"])
+                _mxu_transpose(dsig_blk)
             )
             dbuf[slot, :, Wt + 5 : Wt + 8] = dp_t  # p_lo mirrors p_hi
             # compact neighbor channel: [ids(S) | dvx(S) | dvy(S) | dvz(S)]
