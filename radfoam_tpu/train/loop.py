@@ -124,7 +124,10 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
     cam_basis = jnp.asarray(basis_np)
     intrin = jnp.asarray(intrin_np)
     bb_min, bb_max = model.raster_bounds()
-    cap = int(min(1 << 22, max(1 << 18, 8 * model.capacity)))
+    # pair cap sizes the step's dominant buffers (rows is aliased into
+    # its gradient, plus the dnbr channel); 2M pairs keeps the 2M-point
+    # worst case inside HBM — overflow truncates with a warning below
+    cap = int(min(2 << 20, max(1 << 18, 8 * model.capacity)))
     rcfg = RasterConfig(
         sh_degree=model.sh_degree, weight_threshold=1e-3, tile=16,
         max_pairs=cap, alpha_cull=0.0, table_k=int(model.pad_degree),

@@ -63,17 +63,16 @@ out["bound_clamp_r"] = round(clamp_r, 4)
 
 # ---- raster FPS at 1080p ------------------------------------------------
 W, H = 1920, 1080
-cap = 1 << 22
+cap = 3 << 20
 density = attrs[:, -1]
 @jax.jit
 def _build(p, a, t, b0, b1):
-    return R.build_row_table(
-        R.pack_raster_table(p, a, t), b0, b1, sh_degree=SH
-    )
+    return R.build_scene_table(p, a, t, b0, b1, sh_degree=SH)
 
 rtable = _build(jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
                 jnp.asarray(bb_min), jnp.asarray(bb_max))
-rtable.block_until_ready()
+# real sync (block_until_ready is unreliable over the tunnel)
+_ = jax.device_get(rtable[:2, :2])
 
 frames = []
 for v in range(4):
@@ -89,17 +88,18 @@ bbmin_d, bbmax_d = jnp.asarray(bb_min), jnp.asarray(bb_max)
 dens_d = jnp.asarray(density)
 
 def _render(rp, b0, b1, dd, pos, fwd, rgt, up, *, cfg):
-    return R.render_frame(rp, b0, b1, dd, pos, fwd, rgt, up,
-                          jnp.float32(1.0), width=W, height=H, cfg=cfg)
+    # staged frame: a fresh fused-frame compile can exceed HBM at 2M
+    return R.render_frame_staged(rp, b0, b1, dd, pos, fwd, rgt, up,
+                                 jnp.float32(1.0), width=W, height=H,
+                                 cfg=cfg)
 
 
 while True:
     cfg = R.RasterConfig(sh_degree=SH, weight_threshold=0.05, tile=16,
                          max_pairs=cap, alpha_cull=1e-3,
                          table_k=int(table.shape[1]))
-    rfn = jax.jit(partial(_render, cfg=cfg))
-    render = lambda pos, fwd, rgt, up: rfn(
-        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+    render = lambda pos, fwd, rgt, up: _render(
+        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up, cfg=cfg)
     t0 = time.time()
     img, n_pairs, forced = render(*frames[0])
     jax.block_until_ready(img)
@@ -134,11 +134,12 @@ cfg2 = cfg._replace(max_pairs=cap)
 
 
 def _render2(rp, b0, b1, dd, pos, fwd, rgt, up):
-    return R.render_frame(rp, b0, b1, dd, pos, fwd, rgt, up,
-                          jnp.float32(1.0), width=w2, height=h2, cfg=cfg2)
+    return R.render_frame_staged(rp, b0, b1, dd, pos, fwd, rgt, up,
+                                 jnp.float32(1.0), width=w2, height=h2,
+                                 cfg=cfg2)
 
 
-img_r, _, _ = jax.jit(_render2)(
+img_r, _, _ = _render2(
     rtable, bbmin_d, bbmax_d, dens_d,
     *[jnp.asarray(np.asarray(x, np.float32)) for x in
       (cam.position, cam.forward, cam.right, cam.up)])
@@ -166,7 +167,11 @@ print(f"parity PSNR={out['raster_vs_walk_psnr']} dB, walk mean steps "
       f"{out['walk_mean_steps']:.1f}", flush=True)
 
 # ---- train-step core: fwd+bwd at 1M rays --------------------------------
-R_RAYS = 1 << 20
+# NB: the walk engine's backward at 2M points does NOT fit the 16 GB HBM
+# at 1M rays (measured RESOURCE_EXHAUSTED) — measure at 256k and report
+# the 1M-scaled per-ray cost. The raster train engine is the 2M-scale
+# path (tools/profile_train_step.py: 6.2 s/step at 800x800).
+R_RAYS = 1 << 18
 rng = np.random.default_rng(1)
 origins = rng.uniform(-1, 1, (R_RAYS, 3)).astype(np.float32)
 dirs = rng.standard_normal((R_RAYS, 3)).astype(np.float32)
@@ -184,13 +189,16 @@ grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
 p_d, a_d = jnp.asarray(pts), jnp.asarray(attrs)
 nbr_d = jnp.asarray(table)
 g = grad_fn(p_d, a_d, nbr_d, train_rays, starts)
-jax.block_until_ready(g)
+_ = jax.device_get(jax.tree.leaves(g)[0].ravel()[:2])
 t0 = time.time()
 for _ in range(3):
-    jax.block_until_ready(grad_fn(p_d, a_d, nbr_d, train_rays, starts))
-out["train_fwdbwd_s_per_iter"] = round((time.time() - t0) / 3, 2)
-print(f"train fwd+bwd @1M rays: {out['train_fwdbwd_s_per_iter']}s/iter",
-      flush=True)
+    g = grad_fn(p_d, a_d, nbr_d, train_rays, starts)
+    _ = jax.device_get(jax.tree.leaves(g)[0].ravel()[:2])
+dt3 = (time.time() - t0) / 3
+out["walk_fwdbwd_rays"] = int(R_RAYS)
+out["train_fwdbwd_s_per_iter"] = round(dt3 * ((1 << 20) / R_RAYS), 2)
+print(f"walk fwd+bwd @{R_RAYS} rays: {dt3:.2f}s "
+      f"(~{out['train_fwdbwd_s_per_iter']}s at 1M rays)", flush=True)
 
 # ---- densify + incremental retriangulation ------------------------------
 from radfoam_tpu.models.scene import RadFoamScene
