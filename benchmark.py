@@ -90,9 +90,8 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
             alpha_cull=1e-3, max_pairs=cap, table_k=int(table.shape[1]),
         )
         rtable = jax.jit(
-            lambda p, a, t, b0, b1: R.build_row_table(
-                R.pack_raster_table(p, a, t), b0, b1,
-                sh_degree=model.sh_degree,
+            lambda p, a, t, b0, b1: R.build_scene_table(
+                p, a, t, b0, b1, sh_degree=model.sh_degree,
             )
         )(
             jnp.asarray(pts_np), jnp.asarray(attrs_np), jnp.asarray(table),
@@ -102,15 +101,11 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
         bbmax_d = jnp.asarray(bb_max)
         dens_d = jnp.asarray(attrs_np[:, -1].astype(np.float32))
 
-        def _render(rp, b0, b1, dd, pos, fwd, rgt, up):
-            return R.render_frame(
-                rp, b0, b1, dd, pos, fwd, rgt, up, jnp.float32(fov),
-                width=width, height=height, cfg=rcfg,
-            )
-
-        _rfn = jax.jit(_render)
-        raster_fn = lambda pos, fwd, rgt, up: _rfn(
-            rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up)
+        # staged frame: a fresh fused-frame compile can exceed HBM on
+        # multi-million-point checkpoints (see raster.render_frame_staged)
+        raster_fn = lambda pos, fwd, rgt, up: R.render_frame_staged(
+            rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+            jnp.float32(fov), width=width, height=height, cfg=rcfg)
         frames = [
             tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
                   (c.position, c.forward, c.right, c.up))

@@ -145,9 +145,8 @@ class Pipeline:
 
             bb_min, bb_max, _ = clamp_bounds(pts_s, bb_min, bb_max)
             rtable = jax.jit(
-                lambda p, a, t, b0, b1: R.build_row_table(
-                    R.pack_raster_table(p, a, t), b0, b1,
-                    sh_degree=self.sh_degree,
+                lambda p, a, t, b0, b1: R.build_scene_table(
+                    p, a, t, b0, b1, sh_degree=self.sh_degree,
                 )
             )(
                 jnp.asarray(pts_s), jnp.asarray(attrs_s),
@@ -189,7 +188,7 @@ class Pipeline:
                 weight_threshold=weight_threshold,
                 alpha_cull=1e-3, max_pairs=cap, table_k=k_tab,
             )
-            img, n_pairs, _ = R.render_frame(
+            img, n_pairs, _ = R.render_frame_staged(
                 rtable, bbmin, bbmax, dens,
                 jnp.asarray(camera.position, jnp.float32),
                 jnp.asarray(camera.forward, jnp.float32),
