@@ -62,8 +62,12 @@ class BlenderDataset:
         w, h = self.img_wh
         focal = 0.5 * w / math.tan(0.5 * meta["camera_angle_x"])
         self.fx = self.fy = focal
+        self.cx, self.cy = w / 2.0, h / 2.0
 
         cam_dirs = get_ray_directions(h, w, [focal, focal])
+        # camera-frame unit directions, exposed for the raster engines'
+        # exact direction-grid path (ops/dirgrid)
+        self.cam_dirs = cam_dirs.reshape(h, w, 3)
 
         poses, all_rays, all_rgbs, all_alphas = [], [], [], []
         for frame in meta["frames"]:

@@ -61,8 +61,14 @@ class COLMAPDataset:
         self.camera = next(iter(rec.cameras.values()))
         self.camera.rescale(self.img_wh[0], self.img_wh[1])
         self.fx, self.fy = self.camera.focal
+        self.cx, self.cy = self.camera.principal_point
 
         cam_dirs = get_cam_ray_dirs(self.camera)
+        # camera-frame unit directions (incl. lens undistortion), exposed
+        # for the raster engines' exact direction-grid path (ops/dirgrid)
+        self.cam_dirs = cam_dirs.reshape(
+            self.img_wh[1], self.img_wh[0], 3
+        )
 
         poses, all_rays, all_rgbs = [], [], []
         for name in names:

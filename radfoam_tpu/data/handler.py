@@ -56,6 +56,11 @@ class DataHandler:
         self.img_wh = ds.img_wh
         self.fx = ds.fx
         self.fy = ds.fy
+        self.cx = getattr(ds, "cx", ds.img_wh[0] / 2.0)
+        self.cy = getattr(ds, "cy", ds.img_wh[1] / 2.0)
+        self.cam_dirs = getattr(ds, "cam_dirs", None)
+        self._dir_grid_cache = None
+        self._dir_grid_dev = None
         self.c2ws = np.asarray(ds.poses)
         self.rays = np.asarray(ds.all_rays)
         self.rgbs = np.asarray(ds.all_rgbs)
@@ -114,21 +119,54 @@ class DataHandler:
 
     def raster_camera(self, i):
         """(basis (4, 3) [pos fwd rgt up], intrin (4,)) for view i in the
-        raster engines' affine camera model (raster.dataset_intrin)."""
+        raster engines' affine camera model (raster.dataset_intrin),
+        using the dataset's true principal point."""
         from radfoam_tpu.ops.raster import dataset_intrin
 
         c2w = self.c2ws[i]
-        w, h = self.img_wh
         basis = np.stack(
             [c2w[:3, 3], c2w[:3, 2], c2w[:3, 0], c2w[:3, 1]]
         ).astype(np.float32)
         intrin = np.array(
             dataset_intrin(
-                float(self.fx), float(self.fy), w / 2.0, h / 2.0
+                float(self.fx), float(self.fy), float(self.cx),
+                float(self.cy),
             ),
             np.float32,
         )
         return basis, intrin
+
+    def raster_dir_grid(self, tile=16):
+        """Exact raster camera for this dataset's (shared) intrinsics.
+
+        Returns (dir_grid, intrin, pad_px): ``dir_grid`` is the per-tile
+        camera-frame direction grid (ops/dirgrid.make_dir_grid) or None
+        when the affine model is already pixel-exact (undistorted
+        pinholes — e.g. Blender), ``intrin`` the least-squares affine
+        binning intrinsics and ``pad_px`` its conservative margin.
+        Cached per reload; the grid is pose-independent, so one array
+        serves every view of the split.
+        """
+        if self._dir_grid_cache is not None:
+            return self._dir_grid_cache
+        from radfoam_tpu.ops.dirgrid import (
+            fit_affine_intrin,
+            make_dir_grid,
+        )
+
+        w, h = self.img_wh
+        if self.cam_dirs is None:
+            basis0, intrin = self.raster_camera(0)
+            self._dir_grid_cache = (None, intrin, 0.0)
+            return self._dir_grid_cache
+        intrin, pad_px = fit_affine_intrin(self.cam_dirs, w, h)
+        if pad_px < 0.5:
+            # affine is sub-pixel exact: skip the grid (in-kernel camera)
+            self._dir_grid_cache = (None, intrin, 0.0)
+        else:
+            grid = make_dir_grid(self.cam_dirs, w, h, tile)
+            self._dir_grid_cache = (grid, intrin, pad_px)
+        return self._dir_grid_cache
 
     def get_iter(self):
         from radfoam_tpu.data.fetcher import BatchFetcher

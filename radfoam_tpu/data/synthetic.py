@@ -133,6 +133,11 @@ class SyntheticDataHandler:
         )
         return basis, intrin
 
+    def raster_dir_grid(self, tile=16):
+        """Synthetic cameras are exact pinholes: affine path, no grid."""
+        _, intrin = self.raster_camera(0)
+        return None, intrin, 0.0
+
     def get_iter(self):
         V, H, W = self.rays.shape[:3]
         img_idx = np.broadcast_to(

@@ -48,12 +48,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+AFFINE = 0  # binning camera: affine intrinsics (+ pad_px margin)
+FISHEYE = 1  # binning camera: equidistant fisheye (intrin[0] = fov)
+
+
 class RasterConfig(NamedTuple):
     """Static rasterizer configuration."""
 
     sh_degree: int = 3
     weight_threshold: float = 0.001
     tile: int = 16  # tile edge in pixels (tile*tile = lanes per program)
+    # binning camera model: AFFINE projects cell AABBs through the
+    # 4-scalar intrinsics; FISHEYE through the equidistant sector bound
+    # (ops/dirgrid supplies the matching exact in-kernel direction grids)
+    cam_model: int = AFFINE
     max_pairs: int = 1 << 22  # static (tile, cell) pair capacity
     entry_chunk: int = 16  # cells DMA'd + composited per kernel loop step
     alpha_cull: float = 0.0  # drop cells with sigma*2R below this (0 = off)
@@ -66,6 +74,9 @@ class RasterConfig(NamedTuple):
     # list order (fast, approximate where bounding spheres overlap).
     reorder_window: int = 8
     interpret: bool = False  # run the Pallas kernel in interpreter mode
+    # diagnostic: the inference kernel reports processed entries per tile
+    # (chunks x CE) in the aux channel instead of forced-pop counts
+    stats: bool = False
     # training only: per pair, neighbor-position gradients are emitted for
     # the grad_planes highest-|dv| planes instead of all K (the reference
     # backward also touches only selected faces, pipeline.cu atomicAdd
@@ -106,14 +117,89 @@ def _grid_shape(width, height, tile):
 # binning: cells -> sorted (tile, cell) pairs
 
 
+def _angdist(t, t0):
+    """|t - t0| on the circle, result in [0, pi]."""
+    d = jnp.mod(t - t0 + np.pi, 2.0 * np.pi) - np.pi
+    return jnp.abs(d)
+
+
+def _fisheye_rect(cx, cy, cz, dist, e_norm, fov, *, width, height):
+    """Conservative pixel rect of a bounding sphere under the equidistant
+    fisheye camera (reference camera.h:56-85: u = (2x/W - 1) aspect,
+    v = 1 - 2y/H, phi = fov |uv|).
+
+    The sphere subtends a cone of half-angle b = asin(e/d) around its
+    center direction (polar angle a from forward, azimuth tc); its screen
+    footprint is the polar rect r in [phi_lo, phi_hi]/fov, theta in
+    tc +- delta, whose Cartesian AABB comes from interval products.
+    Spheres containing the camera (d <= e) cover the full screen.
+    """
+    aspect = width / height
+    eps = 1e-12
+    d_s = jnp.maximum(dist, eps)
+    sin_b = jnp.clip(e_norm / d_s, 0.0, 1.0)
+    b = jnp.arcsin(sin_b)
+    ca = jnp.clip(cz / d_s, -1.0, 1.0)
+    a = jnp.arccos(ca)
+    phi_lo = jnp.maximum(a - b, 0.0)
+    phi_hi = jnp.minimum(a + b, np.pi)
+    r_lo = phi_lo / fov
+    r_hi = phi_hi / fov
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))
+    narrow = (a > b) & (a + b < np.pi)
+    delta = jnp.where(
+        narrow,
+        jnp.arcsin(jnp.clip(sin_b / jnp.maximum(sin_a, eps), 0.0, 1.0)),
+        np.pi,
+    )
+    tc = jnp.arctan2(cy, cx)
+    tm, tp = tc - delta, tc + delta
+    cos_hi = jnp.where(
+        _angdist(tc, 0.0) <= delta, 1.0,
+        jnp.maximum(jnp.cos(tm), jnp.cos(tp)),
+    )
+    cos_lo = jnp.where(
+        _angdist(tc, np.pi) <= delta, -1.0,
+        jnp.minimum(jnp.cos(tm), jnp.cos(tp)),
+    )
+    sin_hi = jnp.where(
+        _angdist(tc, 0.5 * np.pi) <= delta, 1.0,
+        jnp.maximum(jnp.sin(tm), jnp.sin(tp)),
+    )
+    sin_lo = jnp.where(
+        _angdist(tc, -0.5 * np.pi) <= delta, -1.0,
+        jnp.minimum(jnp.sin(tm), jnp.sin(tp)),
+    )
+    # min/max of r * trig over the [r_lo, r_hi] x [lo, hi] rectangle
+    uu_min = jnp.minimum(r_lo * cos_lo, r_hi * cos_lo)
+    uu_max = jnp.maximum(r_lo * cos_hi, r_hi * cos_hi)
+    vv_min = jnp.minimum(r_lo * sin_lo, r_hi * sin_lo)
+    vv_max = jnp.maximum(r_lo * sin_hi, r_hi * sin_hi)
+    inside = dist <= e_norm
+    uu_min = jnp.where(inside, -aspect, uu_min)
+    uu_max = jnp.where(inside, aspect, uu_max)
+    vv_min = jnp.where(inside, -1.0, vv_min)
+    vv_max = jnp.where(inside, 1.0, vv_max)
+    # pixel coords: x = (u/aspect + 1) W/2, y = (1 - v) H/2 (v flips y)
+    px_min = (uu_min / aspect + 1.0) * (0.5 * width)
+    px_max = (uu_max / aspect + 1.0) * (0.5 * width)
+    py_min = (1.0 - vv_max) * (0.5 * height)
+    py_max = (1.0 - vv_min) * (0.5 * height)
+    return px_min, px_max, py_min, py_max
+
+
 def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
-              *, width, height, cfg):
+              *, width, height, cfg, pad_px=0.0):
     """Expand visible cells into depth-sorted per-tile cell lists.
 
     bb_min/bb_max: (N, 3) world-space AABBs of each cell's finite Voronoi
     extent (ops/cellbound.cell_bounds). Padding rows must collapse to a
     point (zero extent). intrin = (ax, bx, ay, by) affine pixel
-    intrinsics (fov_intrin / dataset_intrin).
+    intrinsics (fov_intrin / dataset_intrin); under cfg.cam_model=FISHEYE
+    only intrin[0] is read, as the fov. ``pad_px`` expands every cell's
+    screen rect — pass dirgrid.fit_affine_intrin's margin when the
+    composite runs on an exact direction grid so affine binning stays
+    conservative for the true (distorted) camera.
 
     Returns (sorted_cell (M,) int32, sorted_key (M,) f32,
     tile_starts (n_tiles+1,) int32, n_pairs () int32). Pairs beyond
@@ -139,38 +225,52 @@ def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
     ex, ey, ez = e_cam[:, 0], e_cam[:, 1], e_cam[:, 2]
     e_norm = jnp.linalg.norm(ext, axis=-1)
 
-    visible = (cz + ez) > 0.0
+    visible = jnp.ones((N,), bool)
     if cfg.alpha_cull > 0.0:
         visible &= (density * (2.0 * e_norm)) >= cfg.alpha_cull
     # zero extent marks padding rows (capacity > active points)
     visible &= e_norm > 0.0
 
-    # conservative screen rect of the camera-space AABB: each side
-    # projects through whichever z extreme maximizes the rect. Boxes
-    # crossing the camera plane clamp at a near plane — a cell containing
-    # the camera axis then covers the full screen, while off-axis crossers
-    # stay laterally bounded and mostly cull off-screen.
-    znear = 1e-3
-    z_lo = jnp.maximum(cz - ez, znear)
-    z_hi = jnp.maximum(cz + ez, znear)
-    xm, xp = cx - ex, cx + ex
-    ym, yp = cy - ey, cy + ey
-    # camera-plane slopes s = X/Z, Y/Z; a point at (X, Y, Z) projects to
-    # pixel x' = (X/Z - bx)/ax, y' = (Y/Z - by)/ay (see _pixel_dir_rows)
-    u_min = jnp.minimum(xm / z_lo, xm / z_hi)
-    u_max = jnp.maximum(xp / z_lo, xp / z_hi)
-    v_min = jnp.minimum(ym / z_lo, ym / z_hi)
-    v_max = jnp.maximum(yp / z_lo, yp / z_hi)
+    if cfg.cam_model == FISHEYE:
+        dist_f = jnp.linalg.norm(rel, axis=-1)
+        px_min, px_max, py_min, py_max = _fisheye_rect(
+            cx, cy, cz, dist_f, e_norm, intrin[0],
+            width=width, height=height,
+        )
+    else:
+        visible &= (cz + ez) > 0.0
+        # conservative screen rect of the camera-space AABB: each side
+        # projects through whichever z extreme maximizes the rect. Boxes
+        # crossing the camera plane clamp at a near plane — a cell
+        # containing the camera axis then covers the full screen, while
+        # off-axis crossers stay laterally bounded and mostly cull
+        # off-screen.
+        znear = 1e-3
+        z_lo = jnp.maximum(cz - ez, znear)
+        z_hi = jnp.maximum(cz + ez, znear)
+        xm, xp = cx - ex, cx + ex
+        ym, yp = cy - ey, cy + ey
+        # camera-plane slopes s = X/Z, Y/Z; a point at (X, Y, Z) projects
+        # to pixel x' = (X/Z - bx)/ax, y' = (Y/Z - by)/ay (see
+        # _pixel_dir_rows)
+        u_min = jnp.minimum(xm / z_lo, xm / z_hi)
+        u_max = jnp.maximum(xp / z_lo, xp / z_hi)
+        v_min = jnp.minimum(ym / z_lo, ym / z_hi)
+        v_max = jnp.maximum(yp / z_lo, yp / z_hi)
 
-    pxa = (u_min - bx) / ax
-    pxb = (u_max - bx) / ax
-    px_min = jnp.minimum(pxa, pxb)
-    px_max = jnp.maximum(pxa, pxb)
-    pya = (v_min - by) / ay
-    pyb = (v_max - by) / ay
-    py_min = jnp.minimum(pya, pyb)
-    py_max = jnp.maximum(pya, pyb)
+        pxa = (u_min - bx) / ax
+        pxb = (u_max - bx) / ax
+        px_min = jnp.minimum(pxa, pxb)
+        px_max = jnp.maximum(pxa, pxb)
+        pya = (v_min - by) / ay
+        pyb = (v_max - by) / ay
+        py_min = jnp.minimum(pya, pyb)
+        py_max = jnp.maximum(pya, pyb)
 
+    px_min = px_min - pad_px
+    px_max = px_max + pad_px
+    py_min = py_min - pad_px
+    py_max = py_max + pad_px
     visible &= (px_max >= 0.0) & (px_min <= width)
     visible &= (py_max >= 0.0) & (py_min <= height)
 
@@ -353,6 +453,25 @@ def _pixel_dir_rows(tx, ty, cam9, intrin, *, width, height, tile):
     return dx * inv, dy * inv, dz * inv
 
 
+def _grid_dir_rows(dirs_block, cam9):
+    """World-frame direction components from a camera-frame grid tile.
+
+    dirs_block: (8, P) rows 0..2 = camera-frame unit direction components
+    (ops/dirgrid.make_dir_grid). The rotation preserves the norm, so the
+    rows come out normalized like _pixel_dir_rows'. Zero rows (image pad
+    or fisheye mask) stay zero: every plane denom vanishes, all intervals
+    are empty, and the pixel keeps the background.
+    """
+    fx, fy, fz, rx, ry, rz, ux, uy, uz = cam9
+    dcx = dirs_block[0:1]
+    dcy = dirs_block[1:2]
+    dcz = dirs_block[2:3]
+    dx = dcx * rx + dcy * ux + dcz * fx
+    dy = dcx * ry + dcy * uy + dcz * fy
+    dz = dcx * rz + dcy * uz + dcz * fz
+    return dx, dy, dz
+
+
 def _mxu_transpose(chunk):
     """(CE, W) -> (W, CE) via an identity contraction on the MXU.
 
@@ -507,8 +626,19 @@ def _apply_entry(bst, od, rgb3, t_in, key_e, in_list, wt, Wbuf):
         key_e = jnp.where(in_list, key_e, -jnp.inf)
         T = bst[5]
         live = in_list & (od > 0.0) & (T > wt)
-        bst = _buffer_pop(bst, key_e, wt, live)
-        bst = _buffer_insert(bst, t_in, od, rgb3, live)
+
+        # dead entries (pure binning overshoot: the conservative bounding
+        # sphere hit the tile but the convex cell misses every ray, or
+        # the tile already saturated) skip the ~2x-dominant reorder
+        # buffer ops entirely. EXACT: pops are ordered by min t_in
+        # regardless of when they run, and a dead entry never inserts —
+        # deferring its pop sweep to a later live entry (or the drain)
+        # emits the same sequence.
+        def visit(b):
+            b = _buffer_pop(b, key_e, wt, live)
+            return _buffer_insert(b, t_in, od, rgb3, live)
+
+        bst = jax.lax.cond(jnp.any(live), visit, lambda b: b, bst)
     else:
         (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
         live = in_list & (T > wt)
@@ -653,9 +783,14 @@ def _composite_step(bst, col, key_col, in_list, origin, dir_rows, basis,
 # Pallas composite kernel
 
 
-def _composite_kernel(cfg, K, A, width, height, ntx,
+def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
                       starts_ref, lens_ref, cam_ref, rows_hbm,
-                      out_ref, aux_ref, buf, sems):
+                      *rest):
+    if has_dirs:
+        dirs_ref, out_ref, aux_ref, buf, sems = rest
+    else:
+        out_ref, aux_ref, buf, sems = rest
+        dirs_ref = None
     TS = cfg.tile
     P = TS * TS
     CE = cfg.entry_chunk
@@ -675,8 +810,11 @@ def _composite_kernel(cfg, K, A, width, height, ntx,
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
     intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
-                               width=width, height=height, tile=TS)
+    if has_dirs:
+        dir_rows = _grid_dir_rows(dirs_ref[0], cam9)
+    else:
+        dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
+                                   width=width, height=height, tile=TS)
     basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
 
     n_chunks = pl.cdiv(length, CE)
@@ -742,10 +880,17 @@ def _composite_kernel(cfg, K, A, width, height, ntx,
     out_ref[0] = jnp.concatenate(
         [rgb_r, rgb_g, rgb_b, 1.0 - T], axis=0
     )
-    aux_ref[0] = forced
+    if cfg.stats:
+        # processed-entry diagnostic: chunks consumed before early exit
+        aux_ref[0] = (
+            jnp.zeros((1, P), jnp.float32) + c_f.astype(jnp.float32) * CE
+        )
+    else:
+        aux_ref[0] = forced
 
 
-def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
+def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A,
+                     dir_grid=None):
     """Run the per-tile composite kernel over the whole frame.
 
     rows: (Mp + CE, W + 8) f32/f16 pre-gathered sorted cell rows
@@ -755,6 +900,9 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
     starts: (n_tiles + 1,) int32 aligned per-tile offsets into rows.
     lens: (n_tiles,) int32 true (unpadded) per-tile list lengths.
     cam: (16,) f32 [pos fwd rgt up ds pad...].
+    dir_grid: optional (n_tiles, 8, P) camera-frame direction grid
+      (ops/dirgrid) replacing the in-kernel affine pixel camera — exact
+      for distorted/fisheye cameras.
 
     Returns ((n_tiles, 4, P) f32 rgba rows,
              (n_tiles, 1, P) f32 forced-pop diagnostic counts).
@@ -765,15 +913,22 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
     P = TS * TS
     Wrow = rows.shape[1]
 
-    kernel = partial(_composite_kernel, cfg, K, A, width, height, ntx)
+    has_dirs = dir_grid is not None
+    kernel = partial(_composite_kernel, cfg, K, A, width, height, ntx,
+                     has_dirs)
 
+    dir_specs = (
+        [pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+                      memory_space=pltpu.VMEM)]
+        if has_dirs else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
             pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
-        ],
+        ] + dir_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 4, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
@@ -790,6 +945,9 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
     # the Mosaic kernel only lowers for real TPUs; the CPU backend (unit
     # tests, virtual meshes) runs the interpreter automatically
     interpret = cfg.interpret or jax.default_backend() == "cpu"
+    args = (starts, lens, cam, rows) + (
+        (dir_grid,) if has_dirs else ()
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -798,7 +956,7 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, lens, cam, rows)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -806,7 +964,8 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A):
 
 
 def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up,
-                        intrin, *, width, height, cfg, K, A):
+                        intrin, *, width, height, cfg, K, A,
+                        dir_grid=None):
     """Pure-jnp per-tile composite using the exact same helper math as the
     Pallas kernel (python loop over tiles and entries). Test-only.
 
@@ -831,11 +990,14 @@ def composite_reference(rows_np, keys_np, starts_np, pos, fwd, rgt, up,
     keys_np = np.asarray(keys_np)
     for t in range(ntx * nty):
         s, e = int(starts_np[t]), int(starts_np[t + 1])
-        dir_rows = _pixel_dir_rows(
-            jnp.int32(t % ntx), jnp.int32(t // ntx), cam9,
-            tuple(jnp.float32(v) for v in intrin),
-            width=width, height=height, tile=TS,
-        )
+        if dir_grid is not None:
+            dir_rows = _grid_dir_rows(jnp.asarray(dir_grid[t]), cam9)
+        else:
+            dir_rows = _pixel_dir_rows(
+                jnp.int32(t % ntx), jnp.int32(t // ntx), cam9,
+                tuple(jnp.float32(v) for v in intrin),
+                width=width, height=height, tile=TS,
+            )
         basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
         bst = _buffer_init(P, max(Wbuf, 1))
         for i in range(s, e):
@@ -976,12 +1138,9 @@ def relayout_pairs(cell_s, starts, *, width, height, cfg):
     return cell_p, nstarts, lens
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "cfg"),
-)
 def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
-                 fov, *, width, height, cfg):
+                 fov, *, width, height, cfg, dir_grid=None, pad_px=0.0,
+                 intrin=None):
     """Full raster render: bin + sort + gather + Pallas composite.
 
     rows_table: (N, W + 8) build_row_table output — the static per-scene
@@ -991,6 +1150,12 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
       table was built with, or the kernel's depth keys diverge from the
       sort order).
     density: (N,) activated densities (alpha culling input).
+    dir_grid/pad_px: exact camera path (ops/dirgrid) — per-tile
+      camera-frame directions for the composite, and the conservative
+      binning margin of the affine approximation.
+    intrin: optional (ax, bx, ay, by) overriding the fov-derived
+      intrinsics (dataset cameras; under cfg.cam_model=FISHEYE pass
+      (fov, 0, 0, 0)).
 
     Returns ((H, W, 4) f32 rgba image, n_pairs, forced-pop count).
     """
@@ -1009,10 +1174,11 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
             f"rows_table width {Wt} inconsistent with table_k={K}"
         )
 
-    intrin = fov_intrin(fov, width=width, height=height)
+    if intrin is None:
+        intrin = fov_intrin(fov, width=width, height=height)
     cell_s, key_cell, starts, n_pairs = bin_pairs(
         bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
-        width=width, height=height, cfg=cfg,
+        width=width, height=height, cfg=cfg, pad_px=pad_px,
     )
 
     cell_p, nstarts, lens = relayout_pairs(
@@ -1027,14 +1193,19 @@ def render_frame(rows_table, bb_min, bb_max, density, pos, fwd, rgt, up,
     ).astype(jnp.float32)
     tiles, forced = composite_pallas(
         rows, nstarts, lens, cam,
-        width=width, height=height, cfg=cfg, K=K, A=A,
+        width=width, height=height, cfg=cfg, K=K, A=A, dir_grid=dir_grid,
     )
     img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
     return img, n_pairs, jnp.sum(forced)
 
 
+render_frame = partial(
+    jax.jit, static_argnames=("width", "height", "cfg")
+)(render_frame)
+
+
 @lru_cache(maxsize=8)
-def _staged_fns(width, height, cfg, K, A):
+def _staged_fns(width, height, cfg, K, A, has_dirs):
     bin_j = jax.jit(
         partial(bin_pairs, width=width, height=height, cfg=cfg)
     )
@@ -1047,10 +1218,11 @@ def _staged_fns(width, height, cfg, K, A):
         return jnp.take(rows_table, cell_p, axis=0), nstarts, lens
 
     @jax.jit
-    def comp_j(rows, nstarts, lens, cam):
+    def comp_j(rows, nstarts, lens, cam, dir_grid=None):
         tiles, forced = composite_pallas(
             rows, nstarts, lens, cam,
             width=width, height=height, cfg=cfg, K=K, A=A,
+            dir_grid=dir_grid,
         )
         img = tiles_to_image(
             tiles, width=width, height=height, tile=cfg.tile
@@ -1061,7 +1233,8 @@ def _staged_fns(width, height, cfg, K, A):
 
 
 def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
-                        rgt, up, fov, *, width, height, cfg):
+                        rgt, up, fov, *, width, height, cfg,
+                        dir_grid=None, pad_px=0.0, intrin=None):
     """render_frame split into three chained jits (bin / gather /
     composite).
 
@@ -1084,19 +1257,26 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
         raise ValueError(
             f"rows_table width {Wt} inconsistent with table_k={K}"
         )
-    bin_j, gather_j, comp_j = _staged_fns(width, height, cfg, K, A)
-    intrin = fov_intrin(
-        jnp.asarray(fov, jnp.float32), width=width, height=height
+    bin_j, gather_j, comp_j = _staged_fns(
+        width, height, cfg, K, A, dir_grid is not None
     )
+    if intrin is None:
+        intrin = fov_intrin(
+            jnp.asarray(fov, jnp.float32), width=width, height=height
+        )
     cell_s, _key, starts, n_pairs = bin_j(
-        bb_min, bb_max, density, pos, fwd, rgt, up, intrin
+        bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
+        pad_px=jnp.asarray(pad_px, jnp.float32),
     )
     rows, nstarts, lens = gather_j(rows_table, cell_s, starts)
     cam = jnp.concatenate(
         [pos, fwd, rgt, up]
         + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
     )
-    img, forced = comp_j(rows, nstarts, lens, cam)
+    if dir_grid is None:
+        img, forced = comp_j(rows, nstarts, lens, cam)
+    else:
+        img, forced = comp_j(rows, nstarts, lens, cam, dir_grid)
     return img, n_pairs, forced
 
 

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radfoam_tpu.ops.raster import (
     RasterConfig,
+    _grid_dir_rows,
     _grid_shape,
     _mxu_transpose,
     _pixel_dir_rows,
@@ -117,9 +118,14 @@ def _entry_interval(pre, e, dir_rows, degm):
 
 
 def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
-                                starts_ref, lens_ref, cam_ref, rows_hbm,
-                                qlv_ref, out_ref, nlive_ref, buf, sems):
+                                has_dirs, starts_ref, lens_ref, cam_ref,
+                                rows_hbm, qlv_ref, *rest):
     """Forward: list-order composite + quantile depth + live count."""
+    if has_dirs:
+        dirs_ref, out_ref, nlive_ref, buf, sems = rest
+    else:
+        out_ref, nlive_ref, buf, sems = rest
+        dirs_ref = None
     TS = cfg.tile
     P = TS * TS
     CE = cfg.entry_chunk
@@ -136,8 +142,11 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
     intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
-                               width=width, height=height, tile=TS)
+    if has_dirs:
+        dir_rows = _grid_dir_rows(dirs_ref[0], cam9)
+    else:
+        dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
+                                   width=width, height=height, tile=TS)
     basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
     qlv = qlv_ref[0]  # (Q, P)
 
@@ -220,10 +229,9 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
 
 
 def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
-                                starts_ref, lens_ref, cam_ref, rows_hbm,
-                                qlv_ref, fwd_ref, g_ref, nlive_ref,
-                                drows_hbm, dnbr_hbm, buf, sems, dbuf,
-                                osems, nbuf, nsems):
+                                has_dirs, starts_ref, lens_ref, cam_ref,
+                                rows_hbm, qlv_ref, fwd_ref, g_ref,
+                                nlive_ref, *rest):
     """Backward: reverse sweep emitting per-pair grads to HBM.
 
     drows carries the per-pair row-table cotangent EXCEPT the neighbor
@@ -239,6 +247,13 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
     range is written (zeros for chunks past the live prefix), including
     the tail beyond the last tile's range.
     """
+    if has_dirs:
+        (dirs_ref, drows_hbm, dnbr_hbm, buf, sems, dbuf, osems, nbuf,
+         nsems) = rest
+    else:
+        (drows_hbm, dnbr_hbm, buf, sems, dbuf, osems, nbuf,
+         nsems) = rest
+        dirs_ref = None
     TS = cfg.tile
     P = TS * TS
     CE = cfg.entry_chunk
@@ -261,8 +276,11 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
     intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
-                               width=width, height=height, tile=TS)
+    if has_dirs:
+        dir_rows = _grid_dir_rows(dirs_ref[0], cam9)
+    else:
+        dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
+                                   width=width, height=height, tile=TS)
     dirx, diry, dirz = dir_rows
     basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
     qlv = qlv_ref[0]  # (Q, P)
@@ -590,7 +608,7 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
 
 
 @lru_cache(maxsize=8)
-def _make_render_core(width, height, cfg, K, A, Q, N):
+def _make_render_core(width, height, cfg, K, A, Q, N, has_dirs=False):
     """Custom-vjp differentiable render core over (points, attrs).
 
     The VJP is fully manual: forward builds the row table (with neighbor
@@ -616,11 +634,16 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
         raise ValueError("max_pairs must be a multiple of entry_chunk "
                          "(the bwd kernel zeroes the tail chunk-wise)")
     fwd_kernel = partial(_composite_train_fwd_kernel, cfg, K, A, Q,
-                         width, height, ntx)
+                         width, height, ntx, has_dirs)
     bwd_kernel = partial(_composite_train_bwd_kernel, cfg, K, A, Q,
-                         width, height, ntx)
+                         width, height, ntx, has_dirs)
+    dir_specs = (
+        [pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+                      memory_space=pltpu.VMEM)]
+        if has_dirs else []
+    )
 
-    def run_fwd(rows, nstarts, lens, cam, qlv):
+    def run_fwd(rows, nstarts, lens, cam, qlv, dirs):
         Wrow = rows.shape[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -630,7 +653,7 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
                 pl.BlockSpec(memory_space=pl.ANY),  # rows in HBM
                 pl.BlockSpec((1, Q, P), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # qlv
-            ],
+            ] + dir_specs,
             out_specs=[
                 pl.BlockSpec((1, 4 + Q, P), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -642,6 +665,9 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
+        args = (nstarts, lens, cam, rows, qlv) + (
+            (dirs,) if has_dirs else ()
+        )
         return pl.pallas_call(
             fwd_kernel,
             grid_spec=grid_spec,
@@ -650,9 +676,10 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
                 jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
             ],
             interpret=interpret,
-        )(nstarts, lens, cam, rows, qlv)
+        )(*args)
 
-    def run_bwd(rows, nstarts, lens, cam, qlv, tiles, nlive, g_tiles):
+    def run_bwd(rows, nstarts, lens, cam, qlv, tiles, nlive, g_tiles,
+                dirs):
         Wrow = rows.shape[1]
         Mp = rows.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -669,7 +696,7 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
                              memory_space=pltpu.VMEM),  # cotangent
                 pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # nlive
-            ],
+            ] + dir_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # drows stay in HBM
                 pl.BlockSpec(memory_space=pl.ANY),  # dnbr stays in HBM
@@ -689,6 +716,9 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
         # difference between the 2M train step fitting HBM or not.
         # Input index 3 = rows in (nstarts, lens, cam, rows, ...).
         alias = {} if rows.dtype != jnp.float32 else {3: 0}
+        args = (nstarts, lens, cam, rows, qlv, tiles, g_tiles, nlive) + (
+            (dirs,) if has_dirs else ()
+        )
         drows, dnbr = pl.pallas_call(
             bwd_kernel,
             grid_spec=grid_spec,
@@ -698,39 +728,39 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
             ],
             input_output_aliases=alias,
             interpret=interpret,
-        )(nstarts, lens, cam, rows, qlv, tiles, g_tiles, nlive)
+        )(*args)
         return drows, dnbr
 
     def fwd_only(points, attrs, nbr_idx, bb_min, bb_max, cell_p, nstarts,
-                 lens, cam, qlv):
+                 lens, cam, qlv, dirs):
         table = build_scene_table(
             points, attrs, nbr_idx, bb_min, bb_max,
             sh_degree=cfg.sh_degree, with_nbr_ids=True,
         )
         rows = jnp.take(table, cell_p, axis=0)
-        return run_fwd(rows, nstarts, lens, cam, qlv), rows
+        return run_fwd(rows, nstarts, lens, cam, qlv, dirs), rows
 
     @jax.custom_vjp
     def render_core(points, attrs, nbr_idx, bb_min, bb_max, cell_p,
-                    nstarts, lens, cam, qlv):
+                    nstarts, lens, cam, qlv, dirs):
         (tiles, _), _rows = fwd_only(points, attrs, nbr_idx, bb_min,
                                      bb_max, cell_p, nstarts, lens, cam,
-                                     qlv)
+                                     qlv, dirs)
         return tiles
 
     def core_fwd(points, attrs, nbr_idx, bb_min, bb_max, cell_p, nstarts,
-                 lens, cam, qlv):
+                 lens, cam, qlv, dirs):
         (tiles, nlive), rows = fwd_only(points, attrs, nbr_idx, bb_min,
                                         bb_max, cell_p, nstarts, lens,
-                                        cam, qlv)
+                                        cam, qlv, dirs)
         return tiles, (rows, cell_p, nstarts, lens, cam, qlv, tiles,
-                       nlive)
+                       nlive, dirs)
 
     def core_bwd(res, g_tiles):
-        rows, cell_p, nstarts, lens, cam, qlv, tiles, nlive = res
+        rows, cell_p, nstarts, lens, cam, qlv, tiles, nlive, dirs = res
         Wrow = rows.shape[1]
         drows, dnbr = run_bwd(rows, nstarts, lens, cam, qlv, tiles,
-                              nlive, g_tiles)
+                              nlive, g_tiles, dirs)
         # per-pair row grads -> per-cell table grads (87 ms at 2.5M pairs)
         dtable = jnp.zeros((N, Wrow), jnp.float32).at[cell_p].add(drows)
         # manual build-VJP: dense slices (the offset columns are zero by
@@ -760,14 +790,15 @@ def _make_render_core(width, height, cfg, K, A, Q, N):
                 jnp.zeros((N, 3), jnp.float32),
                 jnp.zeros((N, 3), jnp.float32), zero_i(cell_p),
                 zero_i(nstarts), zero_i(lens), jnp.zeros_like(cam),
-                jnp.zeros_like(qlv))
+                jnp.zeros_like(qlv), jnp.zeros_like(dirs))
 
     render_core.defvjp(core_fwd, core_bwd)
     return render_core
 
 
 def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
-                 up, intrin, qlv_tiles, *, width, height, cfg):
+                 up, intrin, qlv_tiles, *, width, height, cfg,
+                 dir_grid=None, pad_px=0.0):
     """Differentiable full-frame raster render for training steps.
 
     points (N, 3), attrs (N, A) ACTIVATED attributes, nbr_idx (N, K)
@@ -775,7 +806,8 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
     clamped cell bounds (culling/sort only — non-differentiable), camera
     basis + intrin (raster.fov_intrin / dataset_intrin 4-tuple),
     qlv_tiles (n_tiles, Q, P) per-pixel transmittance quantile levels
-    (descending along Q to match train.py:176-180).
+    (descending along Q to match train.py:176-180). dir_grid/pad_px:
+    exact camera path (ops/dirgrid) for distorted/fisheye cameras.
 
     Returns ((H, W, 4 + Q) rgba + quantile-depth image, n_pairs).
     Gradients flow to points (own position, the own-cell side of every
@@ -791,6 +823,7 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
     cell_s, _key, starts, n_pairs = bin_pairs(
         sg(bb_min), sg(bb_max), sg(attrs[:, -1]), sg(pos), sg(fwd),
         sg(rgt), sg(up), intrin, width=width, height=height, cfg=cfg,
+        pad_px=pad_px,
     )
     cell_p, nstarts, lens = relayout_pairs(
         cell_s, starts, width=width, height=height, cfg=cfg
@@ -801,8 +834,14 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
         + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
     ).astype(jnp.float32)
 
-    core = _make_render_core(width, height, cfg, K, A, Q, N)
+    has_dirs = dir_grid is not None
+    dirs = (
+        jnp.asarray(dir_grid, jnp.float32) if has_dirs
+        else jnp.zeros((1,), jnp.float32)
+    )
+    core = _make_render_core(width, height, cfg, K, A, Q, N, has_dirs)
     tiles = core(points, attrs, nbr_idx, sg(bb_min), sg(bb_max),
-                 sg(cell_p), nstarts, lens, sg(cam), sg(qlv_tiles))
+                 sg(cell_p), nstarts, lens, sg(cam), sg(qlv_tiles),
+                 sg(dirs))
     img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
     return img, n_pairs

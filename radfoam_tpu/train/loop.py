@@ -120,7 +120,19 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
         handler.alphas[i_cam].reshape(*handler.rgbs.shape[1:3], 1)
     )
     Wd, Hd = int(handler.img_wh[0]), int(handler.img_wh[1])
-    basis_np, intrin_np = handler.raster_camera(i_cam)
+    basis_np, _ = handler.raster_camera(i_cam)
+    # exact camera: per-tile direction grid when the dataset's lens
+    # departs from the affine model (distorted COLMAP cameras), with the
+    # fitted affine intrinsics + conservative margin for binning
+    dir_grid_np, intrin_np, pad_px = handler.raster_dir_grid()
+    dir_grid_dev = None
+    if dir_grid_np is not None:
+        # one HtoD upload per reload, not per step (the grid is shared by
+        # every view — camera-frame directions are pose-independent)
+        dir_grid_dev = getattr(handler, "_dir_grid_dev", None)
+        if dir_grid_dev is None:
+            dir_grid_dev = jax.device_put(dir_grid_np)
+            handler._dir_grid_dev = dir_grid_dev
     cam_basis = jnp.asarray(basis_np)
     intrin = jnp.asarray(intrin_np)
     bb_min, bb_max = model.raster_bounds()
@@ -142,6 +154,9 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
     params, opt_state, metrics = rstep(
         model.params, model.optimizer_state, model.nbr_idx, bb_min,
         bb_max, cam_basis, intrin, gt_rgb, gt_alpha, lrs, w_depth, key,
+        dir_grid=dir_grid_dev,
+        pad_px=jnp.float32(pad_px),
+        has_dirs=dir_grid_dev is not None,
     )
     metrics["pair_cap"] = cap  # checked at the periodic sync points
     return params, opt_state, metrics

@@ -63,9 +63,11 @@ def make_raster_train_step(cfg: RasterStepConfig):
     ntx, nty = _grid_shape(W, H, rcfg.tile)
     P = rcfg.tile * rcfg.tile
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1),
+             static_argnames=("has_dirs",))
     def step(params, opt_state, nbr_idx, bb_min, bb_max, cam_basis,
-             intrin, gt_rgb, gt_alpha, lrs, w_depth, key):
+             intrin, gt_rgb, gt_alpha, lrs, w_depth, key, dir_grid=None,
+             pad_px=0.0, has_dirs=False):
         quant = jax.random.uniform(key, (ntx * nty, 2, P))
         quant = -jnp.sort(-quant, axis=1)  # descending (train.py:176-180)
         intrin_t = tuple(intrin[i] for i in range(4))
@@ -78,6 +80,7 @@ def make_raster_train_step(cfg: RasterStepConfig):
                 p["primal_points"], attrs, nbr_idx, bb_min, bb_max,
                 cam_basis[0], cam_basis[1], cam_basis[2], cam_basis[3],
                 intrin_t, quant, width=W, height=H, cfg=rcfg,
+                dir_grid=dir_grid if has_dirs else None, pad_px=pad_px,
             )
             img = img.astype(jnp.float32)
             opacity = img[..., 3:4]

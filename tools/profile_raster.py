@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--rw", type=int, default=8, help="reorder_window")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float16"], help="row table dtype")
+    ap.add_argument("--cull", type=float, default=1e-3, help="alpha_cull")
+    ap.add_argument("--stats", action="store_true",
+                    help="report processed entries/tile (kernel stats "
+                         "mode) instead of forced pops")
     args = ap.parse_args()
     W, H = args.width, args.height
 
@@ -67,8 +71,8 @@ def main():
     dtype = jnp.dtype(args.dtype)
     cfg = R.RasterConfig(
         sh_degree=SH, weight_threshold=0.05, tile=16,
-        max_pairs=args.cap, alpha_cull=1e-3, table_k=K,
-        entry_chunk=args.ce, reorder_window=args.rw,
+        max_pairs=args.cap, alpha_cull=args.cull, table_k=K,
+        entry_chunk=args.ce, reorder_window=args.rw, stats=args.stats,
     )
     bbmin_d, bbmax_d = jnp.asarray(bb_min), jnp.asarray(bb_max)
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
@@ -142,6 +146,14 @@ def main():
     t_c, out = timed(comp_fn, (rows, nstarts, lens, cam_v), args.reps,
                      lambda o: o[0][:2])
     tiles, forced = out
+    if args.stats:
+        proc = np.asarray(forced)[:, 0, 0]
+        live = np.minimum(proc, lens_np)
+        print("processed entries/tile: total %d (%.0f%% of pairs) mean "
+              "%.0f p50 %d p90 %d p99 %d max %d"
+              % (live.sum(), 100.0 * live.sum() / max(lens_np.sum(), 1),
+                 live.mean(), *np.percentile(live, [50, 90, 99]).astype(int),
+                 live.max()), flush=True)
     print(f"composite: {t_c*1000:.1f} ms  forced={float(jnp.sum(forced)):.0f}",
           flush=True)
     del rows, tiles, forced, out  # free ~7 GB before the fused e2e pass
