@@ -70,7 +70,11 @@ class PipelineParams(ParamGroup):
         ("densify_factor", 1.15),
         ("white_background", True),
         ("quantile_weight", 1e-4),
-        ("train_engine", "walk"),
+        # raster is the only engine that trains at reference scale on TPU
+        # (the walk step is ~105 s/iter at 2M points; raster is ~17x
+        # faster and parity-tested against the walk) — walk remains
+        # available for exact-parity experiments via --train_engine walk
+        ("train_engine", "raster"),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

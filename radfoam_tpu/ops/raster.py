@@ -83,6 +83,11 @@ class RasterConfig(NamedTuple):
     # targets) — this turns the N*K scatter wall (~13 s at 2M points)
     # into a pairs*S scatter (~1 s). Set to the table's K for exactness.
     grad_planes: int = 8
+    # densification error maps: the backward kernel additionally emits
+    # each pair's maximum per-pixel compositing weight (the reference's
+    # per-point "contribution", pipeline.cu:80-82) into a spare dnbr
+    # column so prune/densify never needs the walk engine
+    emit_contrib: bool = False
 
 
 def pack_raster_table(points, attrs, nbr_idx):
@@ -1030,6 +1035,18 @@ def tiles_to_image(tiles, *, width, height, tile):
     img = tiles.transpose(0, 2, 1).reshape(nty, ntx, tile, tile, C)
     img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, C)
     return img[:height, :width]
+
+
+def image_to_tiles(img, *, width, height, tile):
+    """Exact inverse of tiles_to_image: (height, width, C) ->
+    (n_tiles, C, tile*tile), zero-padding the partial edge tiles."""
+    ntx, nty = _grid_shape(width, height, tile)
+    C = img.shape[-1]
+    img = jnp.pad(
+        img, ((0, nty * tile - height), (0, ntx * tile - width), (0, 0))
+    )
+    t = img.reshape(nty, tile, ntx, tile, C).transpose(0, 2, 1, 3, 4)
+    return t.reshape(nty * ntx, tile * tile, C).transpose(0, 2, 1)
 
 
 def pack_raster_planar(rpacked, K, A):

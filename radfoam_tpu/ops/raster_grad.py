@@ -58,6 +58,7 @@ from radfoam_tpu.ops.raster import (
     bin_pairs,
     build_row_table,
     build_scene_table,
+    image_to_tiles,
     pack_raster_table,
     relayout_pairs,
     tiles_to_image,
@@ -287,6 +288,13 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
     ones_1p = dirx * 0.0 + 1.0  # (1, P)
     dmat = jnp.concatenate([dirx, diry, dirz], axis=0)  # (3, P)
 
+    if cfg.emit_contrib:
+        # valid-pixel lane mask for this tile (edge tiles are padded)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        px_i = tx * TS + col_i % TS
+        py_i = ty * TS + col_i // TS
+        lane_mask = ((px_i < width) & (py_i < height)).astype(jnp.float32)
+
     g_r = g_ref[0, 0:1]
     g_g = g_ref[0, 1:2]
     g_b = g_ref[0, 2:3]
@@ -366,6 +374,7 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             dden_l = [None] * CE
             integ_l = [None] * CE
             wg_l = [[None] * CE for _ in range(3)]
+            wmax_l = [None] * CE
             for e in reversed(range(CE)):
                 t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
                 seg = jnp.where(
@@ -434,6 +443,13 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                         (rgb[ch][e : e + 1] > 0.0) & color_on, w * g, 0.0
                     )
 
+                if cfg.emit_contrib:
+                    # per-view contribution is the reference's SUMMED
+                    # weight over rays (pipeline.cu:80-82 atomicAdd);
+                    # padding lanes of edge tiles are masked out
+                    wmax_l[e] = jnp.sum(
+                        w * lane_mask, axis=1, keepdims=True
+                    )  # (1, 1)
                 Sr = Sr + w * c_r
                 Sg = Sg + w * c_g
                 Sb = Sb + w * c_b
@@ -548,6 +564,11 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
                     )
             nbuf[slot] = jnp.zeros((CE, Wnb), jnp.float32)
             nbuf[slot, :, 0 : 4 * S] = _mxu_transpose(big)
+            if cfg.emit_contrib:
+                # per-pair summed compositing weight -> spare column 4S
+                nbuf[slot, :, 4 * S : 4 * S + 1] = _mxu_transpose(
+                    jnp.concatenate(wmax_l, axis=1)  # (1, CE)
+                )
             return (T_c, Sr, Sg, Sb, cd)
 
         T_cur, S_r, S_g, S_b, cdg = jax.lax.cond(
@@ -624,7 +645,7 @@ def _make_render_core(width, height, cfg, K, A, Q, N, has_dirs=False):
     n_tiles = ntx * nty
     P = cfg.tile * cfg.tile
     S = min(cfg.grad_planes, K)
-    Wnb = -(-(4 * S) // 128) * 128
+    Wnb = -(-(4 * S + (1 if cfg.emit_contrib else 0)) // 128) * 128
     D = (A - 1) // 3
     base = 3 + 3 * K
     Wt = base + A
@@ -793,6 +814,54 @@ def _make_render_core(width, height, cfg, K, A, Q, N, has_dirs=False):
                 jnp.zeros_like(qlv), jnp.zeros_like(dirs))
 
     render_core.defvjp(core_fwd, core_bwd)
+
+    def error_map(points, attrs, nbr_idx, bb_min, bb_max, cell_p,
+                  nstarts, lens, cam, gt_tiles, mask_tiles, wb, dirs):
+        """Densification error collection for one view (reference
+        scene.py:497-548): one fwd + one reverse sweep, with the loss
+        cotangent formed analytically (L1 color over valid pixels).
+
+        Returns (err (N,) position-grad norms, contrib (N,) summed
+        compositing weight per point). Requires cfg.emit_contrib.
+        """
+        if not cfg.emit_contrib:
+            raise ValueError("error_map needs cfg.emit_contrib=True")
+        qlv = jnp.full((n_tiles, Q, P), 2.0, jnp.float32)  # never crossed
+        (tiles, nlive), rows = fwd_only(
+            points, attrs, nbr_idx, bb_min, bb_max, cell_p, nstarts,
+            lens, cam, qlv, dirs,
+        )
+        rgb = tiles[:, 0:3]
+        alpha = tiles[:, 3:4]
+        rgb_out = rgb + wb * (1.0 - alpha)
+        g_rgb = mask_tiles * jnp.sign(rgb_out - gt_tiles) / 3.0
+        g_alpha = -wb * jnp.sum(g_rgb, axis=1, keepdims=True)
+        g_tiles = jnp.concatenate(
+            [g_rgb, g_alpha,
+             jnp.zeros((n_tiles, Q, P), jnp.float32)], axis=1,
+        )
+        drows, dnbr = run_bwd(rows, nstarts, lens, cam, qlv, tiles,
+                              nlive, g_tiles, dirs)
+        Wrow = rows.shape[1]
+        dtable = jnp.zeros((N, Wrow), jnp.float32).at[cell_p].add(drows)
+        d_points = dtable[:, 0:3]
+        ids = dnbr[:, 0:S].astype(jnp.int32).reshape(-1)
+        vals = jnp.stack(
+            [dnbr[:, S : 2 * S], dnbr[:, 2 * S : 3 * S],
+             dnbr[:, 3 * S : 4 * S]],
+            axis=-1,
+        ).reshape(-1, 3)
+        d_points = d_points.at[ids].add(vals)
+        err = jnp.linalg.norm(d_points, axis=-1)
+        # per-view contribution: sum of this view's per-pair weight sums
+        # (reference accumulates atomicAdd per forward call; the caller
+        # maxes across views, scene.py:497-548)
+        contrib = jnp.zeros((N,), jnp.float32).at[cell_p].add(
+            dnbr[:, 4 * S]
+        )
+        return err, contrib
+
+    render_core.error_map = error_map
     return render_core
 
 
@@ -845,3 +914,55 @@ def render_train(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd, rgt,
                  sg(dirs))
     img = tiles_to_image(tiles, width=width, height=height, tile=cfg.tile)
     return img, n_pairs
+
+
+def render_error_map(points, attrs, nbr_idx, bb_min, bb_max, pos, fwd,
+                     rgt, up, intrin, gt_rgb, *, width, height, cfg,
+                     white_background=True, dir_grid=None, pad_px=0.0):
+    """Per-view densification error map through the raster engine.
+
+    Replaces the walk-engine collect_error_map inner step (reference
+    scene.py:497-548, VERDICT r2 task 7): instead of re-walking every
+    ray forward AND backward (~105 s/view at 2M points), this runs ONE
+    raster fwd + reverse sweep with the L1-loss cotangent formed in
+    closed form. Returns (err (N,) per-point position-grad norms for this
+    view, contrib (N,) this view's summed compositing weight per point —
+    the reference's `contribution`, accumulated per forward call and
+    maxed across views by the caller). cfg must have emit_contrib=True.
+    Edge-tile padding lanes are masked out of both channels.
+    """
+    A = attrs.shape[1]
+    K = nbr_idx.shape[1]
+    N = points.shape[0]
+
+    cell_s, _key, starts, _n_pairs = bin_pairs(
+        bb_min, bb_max, attrs[:, -1], pos, fwd, rgt, up, intrin,
+        width=width, height=height, cfg=cfg, pad_px=pad_px,
+    )
+    cell_p, nstarts, lens = relayout_pairs(
+        cell_s, starts, width=width, height=height, cfg=cfg
+    )
+    cam = jnp.concatenate(
+        [pos, fwd, rgt, up]
+        + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
+    ).astype(jnp.float32)
+
+    has_dirs = dir_grid is not None
+    dirs = (
+        jnp.asarray(dir_grid, jnp.float32) if has_dirs
+        else jnp.zeros((1,), jnp.float32)
+    )
+    gt_tiles = image_to_tiles(
+        gt_rgb.astype(jnp.float32), width=width, height=height,
+        tile=cfg.tile,
+    )
+    mask_tiles = image_to_tiles(
+        jnp.ones((height, width, 1), jnp.float32), width=width,
+        height=height, tile=cfg.tile,
+    )
+    wb = jnp.float32(1.0 if white_background else 0.0)
+    core = _make_render_core(width, height, cfg, K, A, 1, N, has_dirs)
+    return core.error_map(
+        points, attrs, nbr_idx, bb_min, bb_max, cell_p, nstarts, lens,
+        cam, gt_tiles, mask_tiles, wb, dirs,
+    )
