@@ -65,19 +65,24 @@ def main():
           f"bound clamp r={clamp_r:.3f})", file=sys.stderr)
 
     # cap sized to the measured protocol maximum (2.46M pairs over the 4
-    # poses) + 28% headroom: the static pair buffers dominate peak HBM
-    # (rows alone = Mp x 1.5 KB) and the bulk gather is per-ROW bound, so
-    # a tight cap is both the memory fix and a ~20% gather win
+    # poses) + 28% headroom (bounds the sort stage); tile_list_cap=256
+    # bounds the gathered rows at n_tiles * 256 — the early-exit stats
+    # show <= 192 entries ever composited per tile at wt=0.05, so the
+    # cap is output-identical here (see RasterConfig). bfloat16 rows
+    # halve the table + DMA bytes (fp16-attr protocol mode; f16 itself
+    # does not lower through Mosaic on this stack).
     cfg = R.RasterConfig(
         sh_degree=SH, weight_threshold=0.05, tile=16,
         max_pairs=3 << 20, alpha_cull=1e-3, table_k=int(table.shape[1]),
+        tile_list_cap=256,
     )
     bbmin_d = jnp.asarray(bb_min)
     bbmax_d = jnp.asarray(bb_max)
 
     @jax.jit
     def _build(p, a, t, b0, b1):
-        return R.build_scene_table(p, a, t, b0, b1, sh_degree=SH)
+        return R.build_scene_table(p, a, t, b0, b1, sh_degree=SH,
+                                   dtype=jnp.bfloat16)
 
     rtable = _build(
         jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),

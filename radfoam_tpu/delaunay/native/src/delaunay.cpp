@@ -498,13 +498,21 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
     int64_t n = m.n_real;
     bool have_prev = m.scan_pts.size() == m.pts.size();
     std::vector<float> delta(n + 4, 0.0f);
+    // dense moved-bitmask: the steady-state scan is memory-bound on the
+    // four random per-vertex delta loads per tet; most points do not
+    // move between scans (triangulation cadence ≤ 100 optimizer steps),
+    // and a byte mask for "moved" keeps the hot lookups inside L2
+    std::vector<uint8_t> moved(n + 4, 0);
     if (have_prev) {
         for (int64_t i = 0; i < n; ++i) {
             double dx = m.pts[3 * i] - m.scan_pts[3 * i];
             double dy = m.pts[3 * i + 1] - m.scan_pts[3 * i + 1];
             double dz = m.pts[3 * i + 2] - m.scan_pts[3 * i + 2];
-            delta[i] = std::nextafterf(
-                (float)std::sqrt(dx * dx + dy * dy + dz * dz), 1e30f);
+            double d2 = dx * dx + dy * dy + dz * dz;
+            if (d2 > 0.0) {
+                moved[i] = 1;
+                delta[i] = std::nextafterf((float)std::sqrt(d2), 1e30f);
+            }
         }
     }
 
@@ -532,6 +540,24 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
         const Tet &tet = m.tets[t];
         if (!tet.alive) continue;
         float *ct = &m.cert[(size_t)t * 10];
+        // steady-state fast path: nothing in this tet's closed star
+        // moved and every cached margin is strictly positive -> the
+        // certificate holds verbatim, no bound arithmetic needed
+        if (have_prev && !moved[tet.v[0]] && !moved[tet.v[1]] &&
+            !moved[tet.v[2]] && !moved[tet.v[3]] && ct[0] > 0.0f) {
+            bool all_ok = true;
+            for (int i = 0; i < 4 && all_ok; ++i) {
+                int32_t nb = tet.n[i];
+                if (nb == kNone || nb < (int32_t)t) continue;
+                int32_t apex = kNone;
+                const Tet &other = m.tets[nb];
+                for (int j = 0; j < 4; ++j)
+                    if (other.n[j] == (int32_t)t) { apex = other.v[j]; break; }
+                if (apex == kNone || moved[apex] || ct[2 + i] <= 0.0f)
+                    all_ok = false;
+            }
+            if (all_ok) continue;
+        }
         double d4 = have_prev
             ? std::max(std::max(delta[tet.v[0]], delta[tet.v[1]]),
                        std::max(delta[tet.v[2]], delta[tet.v[3]]))
@@ -622,32 +648,22 @@ struct RepairResult {
     int64_t n_local;  // local DT vertex count (diagnostics)
 };
 
-static RepairResult repair_attempt(Mesh &m, const std::vector<uint8_t> &fail,
-                                   int64_t n_bad,
+static RepairResult repair_attempt(Mesh &m,
+                                   const std::vector<int32_t> &carve,
+                                   const std::vector<uint8_t> &in_carve,
                                    std::vector<int32_t> *w_out) {
-    RepairResult rr{OK, false, n_bad, 0};
+    RepairResult rr{OK, false, (int64_t)carve.size(), 0};
 
-    std::vector<int32_t> carve;
-    carve.reserve(n_bad);
-    for (int64_t t = 0; t < (int64_t)m.tets.size(); ++t)
-        if (fail[t]) carve.push_back((int32_t)t);
-    // damage too large: a full rebuild is cheaper / safer
-    if ((int64_t)carve.size() * 8 > (int64_t)m.tets.size()) {
-        rr.status = INTERNAL;
-        return rr;
-    }
-
-    // vertex set W of the carved region (global ids; supers included)
+    // vertex set W of the carved region (global ids; supers included).
+    // dedup via sort — an O(n_real) seen-array here cost more than the
+    // whole local DT when thousands of small components repair per call
     std::vector<int32_t> W;
-    {
-        std::vector<uint8_t> seen(m.n_real + 4, 0);
-        for (int32_t tid : carve)
-            for (int i = 0; i < 4; ++i) {
-                int32_t v = m.tets[tid].v[i];
-                if (!seen[v]) { seen[v] = 1; W.push_back(v); }
-            }
-    }
-    std::sort(W.begin(), W.end());  // caller pre-sorts points spatially,
+    W.reserve(carve.size() * 4);
+    for (int32_t tid : carve)
+        for (int i = 0; i < 4; ++i) W.push_back(m.tets[tid].v[i]);
+    std::sort(W.begin(), W.end());
+    W.erase(std::unique(W.begin(), W.end()), W.end());
+    // caller pre-sorts points spatially,
                                     // so id order ~ Morton order
     rr.n_local = (int64_t)W.size();
     if (w_out) *w_out = W;
@@ -663,7 +679,7 @@ static RepairResult repair_attempt(Mesh &m, const std::vector<uint8_t> &fail,
         const Tet &t = m.tets[tid];
         for (int i = 0; i < 4; ++i) {
             int32_t nb = t.n[i];
-            if (nb != kNone && fail[nb]) continue;  // internal to the hole
+            if (nb != kNone && in_carve[nb]) continue;  // hole-internal
             FaceKey key = face_key(t.v[kFace[i][0]], t.v[kFace[i][1]],
                                    t.v[kFace[i][2]]);
             int kept_slot = -1;
@@ -870,19 +886,66 @@ static RepairResult repair_attempt(Mesh &m, const std::vector<uint8_t> &fail,
     return rr;
 }
 
-// grow the damage set: additionally mark every live tet touching a vertex
-// of the current damage-set W (one O(T) pass; only runs on repair retry)
-static int64_t grow_failures(const Mesh &m, const std::vector<int32_t> &W,
-                             std::vector<uint8_t> &fail) {
-    std::vector<uint8_t> inW(m.n_real + 4, 0);
-    for (int32_t v : W) inW[v] = 1;
+// grow one component by a vertex ring: every live tet whose vertex set
+// touches W joins the component. Tets incident to a vertex v form a
+// face-connected star, so they are reachable by a BFS restricted to tets
+// containing v — no O(T) pass. Returns tets appended to `tets_of`;
+// absorbed tets of OTHER components are relabeled (the caller must skip
+// components whose tets were absorbed).
+static int64_t grow_component(Mesh &m, const std::vector<int32_t> &W,
+                              std::vector<int32_t> &comp_of, int32_t cid,
+                              std::vector<int32_t> &tets_of) {
+    // W is sorted (repair_attempt) — membership by binary search, seeds
+    // in a small map: no O(n_real) scratch per retry
+    auto in_W = [&](int32_t v) {
+        return std::binary_search(W.begin(), W.end(), v);
+    };
+    std::unordered_map<int32_t, int32_t> seed;
+    seed.reserve(W.size() * 2);
+    for (int32_t tid : tets_of) {
+        const Tet &t = m.tets[tid];
+        for (int i = 0; i < 4; ++i)
+            if (in_W(t.v[i])) seed[t.v[i]] = tid;
+    }
     int64_t added = 0;
-    for (int64_t t = 0; t < (int64_t)m.tets.size(); ++t) {
-        const Tet &tet = m.tets[t];
-        if (!tet.alive || fail[t]) continue;
-        if (inW[tet.v[0]] || inW[tet.v[1]] || inW[tet.v[2]] ||
-            inW[tet.v[3]]) {
-            fail[t] = 1;
+    std::vector<int32_t> stack;
+    std::vector<int32_t> seen_l;
+    for (int32_t v : W) {
+        auto sit = seed.find(v);
+        if (sit == seed.end()) continue;
+        stack.clear();
+        stack.push_back(sit->second);
+        seen_l.clear();
+        seen_l.push_back(sit->second);
+        // walk the (face-connected) star of v
+        while (!stack.empty()) {
+            int32_t tid = stack.back();
+            stack.pop_back();
+            const Tet &t = m.tets[tid];
+            int vslot = -1;
+            for (int i = 0; i < 4; ++i)
+                if (t.v[i] == v) { vslot = i; break; }
+            for (int i = 0; i < 4; ++i) {
+                // the face opposite slot i contains v iff i != vslot
+                if (i == vslot) continue;
+                int32_t nb = t.n[i];
+                if (nb == kNone || !m.tets[nb].alive) continue;
+                bool has_v = false;
+                for (int j = 0; j < 4; ++j)
+                    if (m.tets[nb].v[j] == v) { has_v = true; break; }
+                if (!has_v) continue;
+                bool dup = false;
+                for (int32_t s : seen_l)
+                    if (s == nb) { dup = true; break; }
+                if (dup) continue;
+                seen_l.push_back(nb);
+                stack.push_back(nb);
+            }
+        }
+        for (int32_t tid : seen_l) {
+            if (comp_of[tid] == cid) continue;
+            comp_of[tid] = cid;
+            tets_of.push_back(tid);
             ++added;
         }
     }
@@ -901,21 +964,95 @@ static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
                 (long long)n_bad);
     }
     if (n_bad == 0) return RepairResult{OK, false, 0, 0};
+    // damage too large: a full rebuild is cheaper / safer
+    if (n_bad * 8 > (int64_t)m.tets.size())
+        return RepairResult{INTERNAL, false, n_bad, 0};
 
-    // the minimal damage set sometimes under-covers (the new DT connects
-    // vertices just outside it); grow by one vertex-ring and retry before
-    // giving up to a full rebuild
-    for (int round = 0; round < 3; ++round) {
-        RepairResult rr = repair_attempt(m, fail, n_bad, w_out);
-        if (rr.status == OK || rr.status == DEGENERATE) return rr;
-        if (w_out == nullptr || w_out->empty()) return rr;
-        n_bad += grow_failures(m, *w_out, fail);
-        if (kTiming)
-            fprintf(stderr, "[foam] grow round %d -> %lld tets\n",
-                    round + 1, (long long)n_bad);
+    // label face-connected components of the damage set: each repairs
+    // independently with a LOCAL retry/growth loop, so one stubborn
+    // region no longer drags every other region through ring growth
+    // (previously 6.3k scattered bad tets grew to a single 241k-tet
+    // monolithic local DT — 38x the necessary work)
+    int64_t ntets = (int64_t)m.tets.size();
+    std::vector<int32_t> comp_of(ntets, kNone);
+    std::vector<std::vector<int32_t>> comps;
+    {
+        std::vector<int32_t> stack;
+        for (int64_t t = 0; t < ntets; ++t) {
+            if (!fail[t] || comp_of[t] != kNone) continue;
+            int32_t cid = (int32_t)comps.size();
+            comps.emplace_back();
+            comp_of[t] = cid;
+            stack.push_back((int32_t)t);
+            while (!stack.empty()) {
+                int32_t tid = stack.back();
+                stack.pop_back();
+                comps[cid].push_back(tid);
+                const Tet &tt = m.tets[tid];
+                for (int i = 0; i < 4; ++i) {
+                    int32_t nb = tt.n[i];
+                    if (nb == kNone || !fail[nb] || comp_of[nb] != kNone)
+                        continue;
+                    comp_of[nb] = cid;
+                    stack.push_back(nb);
+                }
+            }
+        }
     }
-    RepairResult rr{INTERNAL, false, n_bad, 0};
-    return rr;
+    if (kTiming)
+        fprintf(stderr, "[foam] components=%zu\n", comps.size());
+
+    bool changed = false;
+    int64_t n_local = 0;
+    std::vector<uint8_t> in_carve(ntets, 0);
+    std::vector<int32_t> W;
+    for (int32_t cid = 0; cid < (int32_t)comps.size(); ++cid) {
+        std::vector<int32_t> &carve = comps[cid];
+        if (carve.empty()) continue;
+        // absorbed into an earlier (grown) component?
+        if (comp_of[carve[0]] != cid) continue;
+        RepairResult rr{INTERNAL, false, 0, 0};
+        for (int round = 0; round < 3; ++round) {
+            // growth may have absorbed other components' tets
+            carve.erase(
+                std::remove_if(carve.begin(), carve.end(),
+                               [&](int32_t t) {
+                                   return comp_of[t] != cid ||
+                                          !m.tets[t].alive;
+                               }),
+                carve.end());
+            for (int32_t t : carve) in_carve[t] = 1;
+            rr = repair_attempt(m, carve, in_carve, &W);
+            for (int32_t t : carve) in_carve[t] = 0;
+            if (rr.status == OK || rr.status == DEGENERATE) break;
+            if (W.empty()) break;
+            int64_t grown = grow_component(m, W, comp_of, cid, carve);
+            n_bad += grown;
+            if (n_bad * 8 > ntets) {
+                rr.status = INTERNAL;
+                break;
+            }
+            if (kTiming)
+                fprintf(stderr,
+                        "[foam] comp %d grow round %d -> %zu tets\n",
+                        cid, round + 1, carve.size());
+        }
+        if (rr.status != OK)
+            return RepairResult{rr.status, changed, n_bad, n_local};
+        changed |= rr.changed;
+        n_local += rr.n_local;
+        if (w_out && rr.changed) {
+            // accumulate damaged vertices across components for the
+            // adjacency patch
+            w_out->insert(w_out->end(), W.begin(), W.end());
+        }
+    }
+    if (w_out) {
+        std::sort(w_out->begin(), w_out->end());
+        w_out->erase(std::unique(w_out->begin(), w_out->end()),
+                     w_out->end());
+    }
+    return RepairResult{OK, changed, n_bad, n_local};
 }
 
 // recompute the adjacency rows of just the vertices in the damage set and

@@ -68,10 +68,14 @@ class RasterConfig(NamedTuple):
     # adjacency-table width K of the scene's build_row_table (the padded
     # row width hides it; Mosaic needs 128-aligned rows). Set per scene.
     table_k: int = 0
-    # exact-order reorder buffer width: per pixel, live entries wait in W
-    # slots and are composited strictly by their true t_in (safe-emission
-    # k-way merge against the conservative sort key). 0 = composite in raw
-    # list order (fast, approximate where bounding spheres overlap).
+    # exact-order compositing: any value > 0 selects the batch
+    # sorted-merge path — per chunk, new entries and the pending set
+    # (capacity = entry_chunk per pixel) are bitonic-sorted by true
+    # t_in and the provably-final prefix is emitted in closed form
+    # (safe emission against the conservative sort key, all-vector).
+    # 0 = composite in raw list order (fastest, approximate where
+    # bounding spheres overlap). The jnp oracle (composite_reference)
+    # still interprets this as a per-entry buffer width.
     reorder_window: int = 8
     interpret: bool = False  # run the Pallas kernel in interpreter mode
     # diagnostic: the inference kernel reports processed entries per tile
@@ -83,6 +87,17 @@ class RasterConfig(NamedTuple):
     # targets) — this turns the N*K scatter wall (~13 s at 2M points)
     # into a pairs*S scatter (~1 s). Set to the table's K for exactness.
     grad_planes: int = 8
+    # per-tile depth-sorted list cap (0 = off): each tile keeps only its
+    # ``tile_list_cap`` NEAREST binned cells, the TPU analog of the
+    # reference's per-ray max_intersections=1024 (pipeline.h:15-19).
+    # This makes the padded pair buffer a scene-independent
+    # n_tiles * cap rows — the bulk row gather is row-RATE bound
+    # (~40 M rows/s at any width, tools/gather_model.py), so shrinking
+    # rows is the only stage-2 lever. With the early-exit stats showing
+    # <= 192 entries ever composited per tile at wt = 0.05, a 256 cap is
+    # output-identical on the bench protocol; unsaturated (background)
+    # tiles may lose far-tail alpha.
+    tile_list_cap: int = 0
     # densification error maps: the backward kernel additionally emits
     # each pair's maximum per-pixel compositing weight (the reference's
     # per-point "contribution", pipeline.cu:80-82) into a spare dnbr
@@ -585,7 +600,9 @@ def _buffer_pop(state, key_now, wt, force_for_insert):
     rgb_r = rgb_r + w * r_p
     rgb_g = rgb_g + w * g_p
     rgb_b = rgb_b + w * b_p
-    T = T * decay
+    # freeze T at the weight threshold (walk early-exit semantics; the
+    # sorted-merge kernel and the list-order path do the same)
+    T = jnp.where(T > wt, T * decay, T)
     S_od = jnp.where(sel, 0.0, S_od)
     forced = forced + (need & (min_t > key_now)).astype(jnp.float32)
     return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
@@ -709,18 +726,11 @@ def _chunk_precompute(chunk_t, origin, basis, K, A):
     return vx, vy, vz, num, sig, key, rgb
 
 
-def _entry_from_chunk(pre, e, dir_rows, degm=None):
-    """Entry e's (od, rgb3, t_in, key) from the chunk precompute.
-
-    ``degm`` (traced scalar: max real degree over the chunk) activates
-    block-skipping: planes are tested in blocks of 8 and whole blocks past
-    ``degm`` are skipped with a conditional. Padded tables run at K = max
-    degree (72 on 2M foams) while the mean degree is ~15, so skipping cuts
-    the dominant (K, P) plane math ~3x with EXACTLY the same result —
-    skipped blocks contain only padding planes (v = 0), which contribute
-    to neither the entry nor the exit set.
-    """
-    vx, vy, vz, num, sig, key, rgb = pre
+def _entry_interval_inf(pre, e, dir_rows, degm=None):
+    """Entry e's per-pixel [t_in, t_out] from the chunk precompute,
+    with the optional degree-gated plane-block skip (see
+    _entry_from_chunk). Returns (t_out (1, P) possibly inf, t_in)."""
+    vx, vy, vz, num, _sig, _key, _rgb = pre
     dirx, diry, dirz = dir_rows
     K = vx.shape[0]
     P = dirx.shape[1]
@@ -761,6 +771,23 @@ def _entry_from_chunk(pre, e, dir_rows, degm=None):
                 lambda to, ti: (to, ti),
                 t_out, t_in,
             )
+    return t_out, t_in
+
+
+def _entry_from_chunk(pre, e, dir_rows, degm=None):
+    """Entry e's (od, rgb3, t_in, key) from the chunk precompute.
+
+    ``degm`` (traced scalar: THIS entry's real degree, from the table's
+    degree column) activates block-skipping: planes are tested in blocks
+    of 8 and whole blocks past ``degm`` are skipped with a conditional.
+    Padded tables run at K = max degree (72 on 2M foams) while the mean
+    degree is ~15, so skipping cuts the dominant (K, P) plane math ~4x
+    with EXACTLY the same result — skipped blocks contain only padding
+    planes (v = 0), which contribute to neither the entry nor the exit
+    set.
+    """
+    vx, vy, vz, num, sig, key, rgb = pre
+    t_out, t_in = _entry_interval_inf(pre, e, dir_rows, degm)
     seg = jnp.where(
         jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
     )
@@ -771,6 +798,304 @@ def _entry_from_chunk(pre, e, dir_rows, degm=None):
         jnp.where(color_on, rgb[c][e : e + 1], 0.0) for c in range(3)
     )
     return od, rgb3, t_in, key[0:1, e : e + 1]
+
+
+# sentinel key for zero-weight / free rows in the sorted-merge pending
+# set: must be FINITE (the bitonic network fetches compare-exchange
+# partners with 0/1 permutation matmuls, and 0 * inf = NaN would poison
+# every row) yet far below any real ray parameter
+_DEAD_KEY = -3.0e37
+
+
+def _bitonic_sort_rows(X, keyP, nrows):
+    """In-register bitonic sort of ``X`` (nrows, C) ascending by its
+    first ``keyP`` lane columns, applied to every lane column.
+
+    Compare-exchange partners are fetched with constant (nrows, nrows)
+    permutation matrices on the MXU — no sublane shuffles, no
+    conditionals, so the whole network pipelines. 15 rounds for 32 rows.
+    """
+    n = nrows
+    rounds = []
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            rounds.append((j, k))
+            j //= 2
+        k *= 2
+    return _bitonic_rounds_apply(X, keyP, n, rounds)
+
+
+def _bitonic_rounds_apply(X, keyP, n, rounds):
+    """Run bitonic compare-exchange ``rounds`` = [(j, k), ...] over the
+    (n, C) working array (see _bitonic_sort_rows)."""
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    xor_rc = jnp.bitwise_xor(r_i, c_i)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    C = X.shape[1]
+    reps = C // keyP
+    for j, k in rounds:
+        P_j = (xor_rc == j).astype(jnp.float32)
+        partner = jax.lax.dot_general(
+            P_j, X, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # take_min <=> bit j of the row index equals bit k — via
+        # integer xor (a bool == bool comparison lowers to an
+        # i8 -> i1 truncation Mosaic rejects)
+        take_min = (
+            jnp.bitwise_and(
+                jnp.bitwise_xor(row // j, row // k), 1
+            ) == 0
+        )  # (n, 1)
+        ks = X[:, :keyP]
+        kp = partner[:, :keyP]
+        # logical ops only — a where() with BOOL branches lowers to
+        # an i8 select + i1 truncation Mosaic rejects
+        sel = (take_min & (kp < ks)) | ((~take_min) & (kp > ks))
+        # segment-wise select: concatenating the bool mask forces an
+        # i8 -> i1 truncation Mosaic rejects
+        X = jnp.concatenate(
+            [
+                jnp.where(sel, partner[:, i * keyP : (i + 1) * keyP],
+                          X[:, i * keyP : (i + 1) * keyP])
+                for i in range(reps)
+            ],
+            axis=1,
+        )
+    return X
+
+
+
+
+def _emit_sorted(bst, t_s, od_s, cr_s, cg_s, cb_s, emit, wt):
+    """Composite the ``emit``-masked rows of a t_in-ascending entry
+    block in closed form (MXU exclusive-prefix; see _chunk_composite).
+
+    T freezes once it crosses the weight threshold (walk semantics,
+    trace.py early exit): the gate is a prefix property — T only decays
+    — so gating on the un-frozen prefix is exactly the sequential
+    frozen gate (first crossing index coincides, and past it T stays
+    at or below wt either way)."""
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
+    n = t_s.shape[0]
+    P = t_s.shape[1]
+    odE = jnp.where(emit, od_s, 0.0)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    L = (r_i > c_i).astype(jnp.float32)
+    S = jax.lax.dot_general(
+        L, odE, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # exclusive prefix
+    T_pre = T * jnp.exp(-S)
+    gate = T_pre > wt
+    w = jnp.where(gate, T_pre * (1.0 - jnp.exp(-odE)), 0.0)
+    ones_row = jnp.full((1, n), 1.0, jnp.float32)
+    acc = jax.lax.dot_general(
+        ones_row,
+        jnp.concatenate([w * cr_s, w * cg_s, w * cb_s,
+                         jnp.where(gate, odE, 0.0)], axis=1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, 4P)
+    rgb_r = rgb_r + acc[:, 0:P]
+    rgb_g = rgb_g + acc[:, P : 2 * P]
+    rgb_b = rgb_b + acc[:, 2 * P : 3 * P]
+    T = T * jnp.exp(-acc[:, 3 * P : 4 * P])
+    return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
+
+
+def _chunk_entries(pre, dir_rows, chunk_t, deg_col, n_in_list, CE,
+                   degm_c):
+    """All CE entries' (t_in, od, colors) as (CE, P) blocks; padding
+    entries past ``n_in_list`` get t_in = +inf, od = 0.
+
+    The plane-block skip gates on the CHUNK-max degree: per-entry gating
+    (CE x K/8 lax.conds per chunk) measured SLOWER than the plane math
+    it saves — each cond is a scalar branch that stalls the vector
+    pipeline (kernel_floor 2026-08-17: ~7 us/chunk with per-entry conds
+    vs ~2.5 us of plane+composite work).
+    """
+    od_l, tin_l = [], []
+    for e in range(CE):
+        t_out, t_in = _entry_interval_inf(pre, e, dir_rows, degm_c)
+        seg = jnp.where(
+            jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+        )
+        od_l.append(pre[4][0:1, e : e + 1] * seg)  # sig_e * seg
+        tin_l.append(t_in)
+    od = jnp.concatenate(od_l, axis=0)  # (CE, P)
+    tin = jnp.concatenate(tin_l, axis=0)
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (CE, 1), 0)
+    live = e_idx < n_in_list
+    od = jnp.where(live, od, 0.0)
+    # zero-od rows (padding, or cells this pixel's ray misses) must NOT
+    # linger in the sorted-merge pending set — their interval math
+    # yields arbitrary t_in that would displace real entries from the
+    # suffix and force mis-ordered emission. Key them far-negative
+    # (finite — see _DEAD_KEY): they sort first and flush straight
+    # through with zero weight (the per-entry buffer equivalently never
+    # inserted them).
+    tin = jnp.where(od > 0.0, tin, _DEAD_KEY)
+    sig_col = _mxu_transpose(pre[4])  # (CE, 1)
+    color_on = sig_col > 1e-6
+    c_r = jnp.where(color_on, pre[6][0], 0.0)  # (CE, P)
+    c_g = jnp.where(color_on, pre[6][1], 0.0)
+    c_b = jnp.where(color_on, pre[6][2], 0.0)
+    return tin, od, c_r, c_g, c_b
+
+
+def _sorted_chunk_composite(bst, pre, dir_rows, chunk_t, deg_col,
+                            n_in_list, wt, CE, use_bitonic, degm_c):
+    """Exact-t_in-order composite of one chunk against the pending set.
+
+    Replaces the per-entry reorder buffer (safe-emission k-way merge)
+    with its batch equivalent: the chunk's CE new entries join the CE
+    pending entries, one bitonic network sorts all 2 CE rows per pixel
+    by true t_in, and the sorted prefix that is provably final — t_in no
+    later than every future entry's conservative key lower bound
+    (k_last, this chunk's largest sort key) — is composited in closed
+    form. The smallest CE rows are force-emitted beyond that to bound
+    the pending set (counted in ``forced``, same graceful degradation as
+    the buffer); the remaining rows are a STATIC suffix slice, so no
+    per-pixel compaction is needed. Emission order equals the exact
+    per-pixel t_in order whenever ``forced`` stays 0 — the same
+    guarantee the reorder buffer gave, at ~vector cost per entry
+    instead of ~750 serialized cycles (prof 2026-08-17).
+    """
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
+    P = dir_rows[0].shape[1]
+    tin, od, c_r, c_g, c_b = _chunk_entries(
+        pre, dir_rows, chunk_t, deg_col, n_in_list, CE, degm_c,
+    )
+    # future entries' t_in >= their key >= this chunk's largest live key
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CE), 1)
+    k_last = jnp.max(
+        jnp.where(lane < n_in_list, pre[5], -jnp.inf)
+    )
+
+    t32 = jnp.concatenate([S_t, tin], axis=0)  # (2CE, P)
+    od32 = jnp.concatenate([S_od, od], axis=0)
+    r32 = jnp.concatenate([S_r, c_r], axis=0)
+    g32 = jnp.concatenate([S_g, c_g], axis=0)
+    b32 = jnp.concatenate([S_b, c_b], axis=0)
+    if use_bitonic:
+        # real Mosaic lowering: in-register bitonic network (MXU
+        # permutation fetches, no conds)
+        X = jnp.concatenate([t32, od32, r32, g32, b32], axis=1)
+        X = _bitonic_sort_rows(X, P, 2 * CE)
+        t_s = X[:, 0:P]
+        od_s = X[:, P : 2 * P]
+        cr_s = X[:, 2 * P : 3 * P]
+        cg_s = X[:, 3 * P : 4 * P]
+        cb_s = X[:, 4 * P : 5 * P]
+    else:
+        # interpreter: the eagerly-executed bitonic rounds are ~100x
+        # slower than one XLA sort; ordering is identical up to ties
+        # (equal t_in rows commute in the composite)
+        t_s, od_s, cr_s, cg_s, cb_s = jax.lax.sort(
+            (t32, od32, r32, g32, b32), dimension=0, num_keys=1
+        )
+
+    # emit: every provably-final row (t_in bounded by all future keys),
+    # every zero-weight row, and — only when the pending set would
+    # overflow its CE slots — the smallest unsafe live rows (counted as
+    # forced). Dead rows sort first (-inf), so the retained unsafe live
+    # rows are always the topmost contiguous block: the static suffix
+    # [CE:2CE) contains them all, no per-pixel compaction needed.
+    safe = t_s <= k_last
+    live_row = od_s > 0.0
+    unsafe_live = live_row & (~safe)
+    ul_f = unsafe_live.astype(jnp.float32)
+    n = 2 * CE
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    L1 = (r_i >= c_i).astype(jnp.float32)  # inclusive prefix
+    rank_inc = jax.lax.dot_general(
+        L1, ul_f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2CE, P): # unsafe-live rows at or before each row
+    n_ul = jnp.max(rank_inc, axis=0, keepdims=True)  # total per pixel
+    force = unsafe_live & (rank_inc <= n_ul - CE)
+    emit = safe | (~live_row) | force
+    forced = forced + jnp.sum(
+        force.astype(jnp.float32), axis=0, keepdims=True
+    )
+    bst = (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
+    bst = _emit_sorted(bst, t_s, od_s, cr_s, cg_s, cb_s, emit, wt)
+    (_, _, _, _, _, T, rgb_r, rgb_g, rgb_b, forced) = bst
+    # pending set = static suffix; emitted rows in it become free slots
+    # (dead-keyed so they flush through the next merge with zero weight)
+    emit_hi = emit[CE:]
+    S_t = jnp.where(emit_hi, _DEAD_KEY, t_s[CE:])
+    S_od = jnp.where(emit_hi, 0.0, od_s[CE:])
+    S_r = cr_s[CE:]
+    S_g = cg_s[CE:]
+    S_b = cb_s[CE:]
+    return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
+
+
+def _sorted_drain(bst, wt):
+    """Composite everything left pending (already t_in-ascending)."""
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
+    emit = jnp.ones(S_od.shape, bool)
+    return _emit_sorted(bst, S_t, S_od, S_r, S_g, S_b, emit, wt)
+
+
+def _chunk_composite(bst, pre, dir_rows, chunk_t, deg_col, n_in_list,
+                     wt, CE, degm_c):
+    """List-order composite of a WHOLE chunk in one vectorized pass.
+
+    The per-entry formulation (16 sequential buffer/state updates, each
+    with a vector->scalar `any(live)` cond) serialized the kernel at
+    ~750 cycles/entry — the measured composite cost was per-chunk
+    overhead, not plane math (prof 2026-08-17). Here the compositing
+    recurrence is closed-form instead: with D_e = exp(-od_e),
+    T_before_e = T0 * prod_{i<e} D_i, so one strictly-lower-triangular
+    (CE, CE) MXU contraction yields every entry's exclusive
+    optical-depth prefix, and the weights w_e = T_before_e (1 - D_e)
+    and color accumulation reduce with one more (1, CE) contraction.
+    The weight-threshold gate is a prefix property (T only decays), so
+    gating on the un-frozen prefix is EXACTLY the sequential gate.
+
+    Semantics = the reorder_window=0 list-order composite. Exact
+    per-pixel t_in ordering (reorder_window > 0) keeps the buffer path.
+    """
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
+    _tin, od, c_r, c_g, c_b = _chunk_entries(
+        pre, dir_rows, chunk_t, deg_col, n_in_list, CE, degm_c,
+    )
+
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (CE, CE), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (CE, CE), 1)
+    L = (r_i > c_i).astype(jnp.float32)  # strictly lower triangular
+    S = jax.lax.dot_general(
+        L, od, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CE, P) exclusive prefix optical depth
+    T_pre = T * jnp.exp(-S)
+    gate = T_pre > wt
+    D = jnp.exp(-od)
+    w = jnp.where(gate, T_pre * (1.0 - D), 0.0)
+    # one (1, CE) @ (CE, 4P) contraction reduces the three weighted
+    # color channels AND the gated optical-depth total together
+    ones_row = jnp.full((1, CE), 1.0, jnp.float32)
+    acc = jax.lax.dot_general(
+        ones_row,
+        jnp.concatenate([w * c_r, w * c_g, w * c_b,
+                         jnp.where(gate, od, 0.0)], axis=1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, 4P)
+    P = od.shape[1]
+    rgb_r = rgb_r + acc[:, 0:P]
+    rgb_g = rgb_g + acc[:, P : 2 * P]
+    rgb_b = rgb_b + acc[:, 2 * P : 3 * P]
+    T = T * jnp.exp(-acc[:, 3 * P : 4 * P])
+    return (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced)
 
 
 def _composite_step(bst, col, key_col, in_list, origin, dir_rows, basis,
@@ -789,8 +1114,8 @@ def _composite_step(bst, col, key_col, in_list, origin, dir_rows, basis,
 
 
 def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
-                      starts_ref, lens_ref, cam_ref, rows_hbm,
-                      *rest):
+                      use_bitonic, starts_ref, lens_ref, cam_ref,
+                      rows_hbm, *rest):
     if has_dirs:
         dirs_ref, out_ref, aux_ref, buf, sems = rest
     else:
@@ -850,16 +1175,24 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
             buf[c % 2].astype(jnp.float32)
         )  # (Wrow, CE)
         pre = _chunk_precompute(chunk_t, origin, basis, K, A)
-        # max real degree over the chunk gates the plane-block skip
-        degm = jnp.max(chunk_t[deg_col : deg_col + 1])
+        # chunk-max degree gates the plane-block skip (exact: blocks
+        # past the max degree hold only padding planes)
+        degm_c = jnp.max(chunk_t[deg_col : deg_col + 1])
 
-        for e in range(CE):
-            od, rgb3, t_in, key_e = _entry_from_chunk(
-                pre, e, dir_rows, degm
+        if Wbuf == 0:
+            # list-order mode: whole-chunk closed-form composite (MXU
+            # prefix) instead of 16 serialized state updates
+            bst = _chunk_composite(
+                bst, pre, dir_rows, chunk_t, deg_col, length - c * CE,
+                wt, CE, degm_c,
             )
-            in_list = c * CE + e < length
-            bst = _apply_entry(bst, od, rgb3, t_in, key_e, in_list, wt,
-                               Wbuf)
+        else:
+            # exact-order mode: batch sorted-merge against the pending
+            # set (the per-entry reorder buffer's vectorized equivalent)
+            bst = _sorted_chunk_composite(
+                bst, pre, dir_rows, chunk_t, deg_col, length - c * CE,
+                wt, CE, use_bitonic, degm_c,
+            )
 
         return (c + 1,) + bst
 
@@ -867,7 +1200,19 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
         c, T = state[0], state[6]
         return (c < n_chunks) & (jnp.max(T) > wt)
 
-    state0 = (jnp.int32(0),) + _buffer_init(P, max(Wbuf, 1))
+    if Wbuf > 0:
+        # pending-set init for the sorted merge: free slots (od = 0,
+        # dead key) flush through the first merge with zero weight
+        z = jnp.zeros((CE, P), jnp.float32)
+        binit = (jnp.full((CE, P), _DEAD_KEY, jnp.float32), z, z, z, z,
+                 jnp.ones((1, P), jnp.float32),
+                 jnp.zeros((1, P), jnp.float32),
+                 jnp.zeros((1, P), jnp.float32),
+                 jnp.zeros((1, P), jnp.float32),
+                 jnp.zeros((1, P), jnp.float32))
+    else:
+        binit = _buffer_init(P, 1)
+    state0 = (jnp.int32(0),) + binit
     state = jax.lax.while_loop(cond, body, state0)
     c_f = state[0]
     bst = state[1:]
@@ -879,7 +1224,7 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
         get_dma(c_f % 2, c_f).wait()
 
     if Wbuf > 0:
-        bst = _buffer_drain(bst, wt, Wbuf)
+        bst = _sorted_drain(bst, wt)
     T = bst[5]
     rgb_r, rgb_g, rgb_b, forced = bst[6], bst[7], bst[8], bst[9]
     out_ref[0] = jnp.concatenate(
@@ -919,8 +1264,9 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A,
     Wrow = rows.shape[1]
 
     has_dirs = dir_grid is not None
+    interpret = cfg.interpret or jax.default_backend() == "cpu"
     kernel = partial(_composite_kernel, cfg, K, A, width, height, ntx,
-                     has_dirs)
+                     has_dirs, not interpret)
 
     dir_specs = (
         [pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
@@ -949,7 +1295,7 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A,
     )
     # the Mosaic kernel only lowers for real TPUs; the CPU backend (unit
     # tests, virtual meshes) runs the interpreter automatically
-    interpret = cfg.interpret or jax.default_backend() == "cpu"
+    # (``interpret`` computed above, where it also selects the skip mode)
     args = (starts, lens, cam, rows) + (
         (dir_grid,) if has_dirs else ()
     )
@@ -1079,9 +1425,11 @@ def build_row_table(rpacked, bb_min, bb_max, *, sh_degree,
     gathers — no per-frame multi-GB table rewrites (measured ~60 ms/frame
     at 2M points before hoisting).
 
-    ``dtype=float16`` halves the frame's dominant HBM traffic (the bulk
-    row gather + the kernel's DMA stream) and is LOSSLESS for the plane
-    offsets (pack_raster_table rounds them through f16 already); cell
+    A 2-byte ``dtype`` (bfloat16 on TPU — Mosaic rejects f16 scratch
+    buffers on this stack) halves the frame's dominant HBM traffic (the
+    bulk row gather + the kernel's DMA stream). float16 is LOSSLESS for
+    the plane offsets (pack_raster_table rounds them through f16
+    already); bfloat16 re-rounds them to 8 mantissa bits; cell
     positions keep ~22 mantissa bits via the hi/lo split (p = p_hi + p_lo,
     reconstructed in-kernel — the f32 path stores p_lo = 0 so the kernel
     is dtype-agnostic). Attr rounding matches the benchmark protocol's
@@ -1102,8 +1450,11 @@ def build_row_table(rpacked, bb_min, bb_max, *, sh_degree,
         0.5 * (bb_max - bb_min).astype(jnp.float32), axis=-1, keepdims=True
     )
     p = planar[:, :3]
-    if jnp.dtype(dtype) == jnp.float16:
-        p_hi = p.astype(jnp.float16).astype(jnp.float32)
+    if jnp.dtype(dtype).itemsize == 2:
+        # f16 halves bytes but Mosaic rejects f16 VMEM scratch on this
+        # stack; bfloat16 is TPU-native and lowers — same hi/lo split
+        # restores ~16 mantissa bits on positions either way
+        p_hi = p.astype(dtype).astype(jnp.float32)
         p_lo = p - p_hi
     else:
         p_hi = p
@@ -1130,28 +1481,45 @@ def relayout_pairs(cell_s, starts, *, width, height, cfg):
     ntx, nty = _grid_shape(width, height, cfg.tile)
     n_tiles = ntx * nty
     M = cell_s.shape[0]
-    Mp = cfg.max_pairs + CE * n_tiles  # static worst-case padded capacity
-    lens = starts[1:] - starts[:-1]  # (T,)
+    lens_src = starts[1:] - starts[:-1]  # (T,) spacing in the sorted stream
+    if cfg.tile_list_cap > 0:
+        # keep each tile's nearest `cap` cells (depth-sorted prefix) —
+        # the padded buffer then has a scene-independent static bound
+        cap_pad = -(-cfg.tile_list_cap // CE) * CE
+        lens = jnp.minimum(lens_src, cfg.tile_list_cap)
+        Mp = n_tiles * cap_pad
+    else:
+        lens = lens_src
+        Mp = cfg.max_pairs + CE * n_tiles  # static worst-case capacity
     plens = -(-lens // CE) * CE
     nstarts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(plens).astype(jnp.int32)]
     )
-    # scatter-style: each sorted pair m lands at dst = m + (padding
-    # inserted by all earlier tiles). Tile t's padding (plens - lens)
-    # becomes visible to every m >= starts[t+1], so scatter-add it at the
-    # boundary and prefix-sum. This is 3 linear passes + ONE narrow
-    # scatter — the previous cummax formulation needed two per-row
-    # gathers over Mp, which dominated the whole stage (measured 89 ms of
-    # the 132 ms relayout+gather at 2.45M pairs; this form ~halves it).
-    pad_incr = jnp.zeros((M,), jnp.int32).at[starts[1:]].add(
-        (plens - lens).astype(jnp.int32), mode="drop"
+    # gather-style: every output slot j pulls its pair from
+    # src = j - shift(j), where shift is the cumulative padding inserted
+    # by earlier tiles (constant within a tile, so it prefix-sums from
+    # one narrow scatter at the tile boundaries). A second boundary
+    # scatter marks each tile's padding region [nstarts[t] + lens[t],
+    # nstarts[t+1]). Monotonic GATHERS replace the previous Mp-wide
+    # scatter, which XLA serialized (measured 65 ms of index work at a
+    # 4.2M cap — ~40x off memory speed-of-light for ~100 MB of traffic).
+    # shift delta per tile = padded length minus SOURCE spacing (negative
+    # when tile_list_cap truncated the tile's list)
+    pad_amt = (plens - lens_src).astype(jnp.int32)
+    shift = jnp.cumsum(
+        jnp.zeros((Mp,), jnp.int32).at[nstarts[1:]].add(
+            pad_amt, mode="drop"
+        )
     )
-    n_pairs = starts[-1]
-    m = jnp.arange(M, dtype=jnp.int32)
-    dst = jnp.where(m < n_pairs, m + jnp.cumsum(pad_incr), Mp)
-    cell_p = jnp.zeros((Mp,), jnp.int32).at[dst].set(
-        cell_s, mode="drop"
+    pad_edges = (
+        jnp.zeros((Mp,), jnp.int32)
+        .at[nstarts[:-1] + lens].add(1, mode="drop")
+        .at[nstarts[1:]].add(-1, mode="drop")
     )
+    j = jnp.arange(Mp, dtype=jnp.int32)
+    valid = (jnp.cumsum(pad_edges) == 0) & (j < nstarts[-1])
+    src = jnp.minimum(j - shift, M - 1)
+    cell_p = jnp.where(valid, jnp.take(cell_s, src), 0)
     return cell_p, nstarts, lens
 
 
@@ -1373,8 +1741,8 @@ def _build_block(all_points, points, attrs, nbr_idx, bb_min, bb_max, *,
         0.5 * (bb_max - bb_min).astype(jnp.float32), axis=-1,
         keepdims=True,
     )
-    if jnp.dtype(dtype) == jnp.float16:
-        p_hi = points.astype(jnp.float16).astype(jnp.float32)
+    if jnp.dtype(dtype).itemsize == 2:
+        p_hi = points.astype(dtype).astype(jnp.float32)
         p_lo = points - p_hi
     else:
         p_hi = points

@@ -119,8 +119,9 @@ def _entry_interval(pre, e, dir_rows, degm):
 
 
 def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
-                                has_dirs, starts_ref, lens_ref, cam_ref,
-                                rows_hbm, qlv_ref, *rest):
+                                has_dirs, starts_ref,
+                                lens_ref, cam_ref, rows_hbm, qlv_ref,
+                                *rest):
     """Forward: list-order composite + quantile depth + live count."""
     if has_dirs:
         dirs_ref, out_ref, nlive_ref, buf, sems = rest
@@ -174,12 +175,15 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
         get_dma(c % 2, c).wait()
         chunk_t = _mxu_transpose(buf[c % 2].astype(jnp.float32))
         pre = _chunk_precompute(chunk_t, origin, basis, K, A)
-        degm = jnp.max(chunk_t[deg_col : deg_col + 1])
         sig_row = pre[4]  # (1, CE)
         rgb = pre[6]
+        degm_c = jnp.max(chunk_t[deg_col : deg_col + 1])
 
         for e in range(CE):
-            t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
+            # chunk-max degree gates the plane-block skip (per-entry
+            # lax.cond gating measured slower than the plane math it
+            # saves — see raster._chunk_entries)
+            t_out, t_in = _entry_interval(pre, e, dir_rows, degm_c)
             seg = jnp.where(
                 jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
             )
@@ -230,9 +234,9 @@ def _composite_train_fwd_kernel(cfg, K, A, Q, width, height, ntx,
 
 
 def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
-                                has_dirs, starts_ref, lens_ref, cam_ref,
-                                rows_hbm, qlv_ref, fwd_ref, g_ref,
-                                nlive_ref, *rest):
+                                has_dirs, starts_ref,
+                                lens_ref, cam_ref, rows_hbm, qlv_ref,
+                                fwd_ref, g_ref, nlive_ref, *rest):
     """Backward: reverse sweep emitting per-pair grads to HBM.
 
     drows carries the per-pair row-table cotangent EXCEPT the neighbor
@@ -355,8 +359,8 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             get_dma(slot, c).wait()
             chunk_t = _mxu_transpose(buf[slot].astype(jnp.float32))
             pre = _chunk_precompute(chunk_t, origin, basis, K, A)
-            degm = jnp.max(chunk_t[deg_col : deg_col + 1])
             vx, vy, vz, _num, sig_row, _key, rgb = pre
+            degm_c = jnp.max(chunk_t[deg_col : deg_col + 1])
             nbrf = chunk_t[Wt + 8 : Wt + 8 + K]  # (K, CE) neighbor ids
             pxr = chunk_t[0:1] + chunk_t[Wt + 5 : Wt + 6]  # (1, CE)
             pyr = chunk_t[1:2] + chunk_t[Wt + 6 : Wt + 7]
@@ -376,7 +380,7 @@ def _composite_train_bwd_kernel(cfg, K, A, Q, width, height, ntx,
             wg_l = [[None] * CE for _ in range(3)]
             wmax_l = [None] * CE
             for e in reversed(range(CE)):
-                t_out, t_in = _entry_interval(pre, e, dir_rows, degm)
+                t_out, t_in = _entry_interval(pre, e, dir_rows, degm_c)
                 seg = jnp.where(
                     jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0),
                     0.0,

@@ -224,8 +224,10 @@ def test_cell_bounds_conservative():
 
 
 def test_f16_row_table_matches_f32():
-    """f16 rows (hi/lo position split) stay within fp16 attr rounding of
-    the f32 path — the bench protocol's fp16 attribute mode."""
+    """2-byte rows (hi/lo position split) stay within half-precision attr
+    rounding of the f32 path — the bench protocol's fp16 attribute mode.
+    bfloat16 is the dtype that actually lowers through Mosaic on TPU
+    (f16 scratch is rejected); both are held to the same bar here."""
     pts, attrs, table, bounds = build_scene(n_points=1200, saturate=True)
     W = H = 32
     cam, _ = cam_setup(pts, W, H)
@@ -233,7 +235,7 @@ def test_f16_row_table_matches_f32():
                          max_pairs=1 << 16, interpret=True,
                          table_k=int(table.shape[1]), entry_chunk=32)
     imgs = {}
-    for dtype in (jnp.float32, jnp.float16):
+    for dtype in (jnp.float32, jnp.float16, jnp.bfloat16):
         rtable = R.build_row_table(
             R.pack_raster_table(
                 jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
@@ -250,6 +252,7 @@ def test_f16_row_table_matches_f32():
         )
         imgs[jnp.dtype(dtype).name] = np.asarray(img)
     assert psnr(imgs["float32"], imgs["float16"]) > 40.0
+    assert psnr(imgs["float32"], imgs["bfloat16"]) > 40.0
 
 
 def test_staged_renderer_matches_fused():
@@ -300,3 +303,54 @@ def test_fused_scene_table_matches_two_step():
             dtype=dtype, chunks=4,
         )
         np.testing.assert_array_equal(np.asarray(chunked), np.asarray(two))
+
+
+def test_tile_list_cap():
+    """tile_list_cap keeps each tile's nearest cells: a generous cap is
+    bit-identical (early exit never reaches it), and the relayout's
+    truncated gather equals manually truncating each tile's sorted list."""
+    pts, attrs, table, bounds = build_scene(n_points=900, saturate=True)
+    W = H = 32
+    cam, _ = cam_setup(pts, W, H)
+    K = int(table.shape[1])
+    base = dict(sh_degree=2, weight_threshold=0.01, tile=16,
+                max_pairs=1 << 16, interpret=True, table_k=K)
+    rtable = R.build_row_table(
+        R.pack_raster_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+        ),
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+    )
+    args = (rtable, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+            jnp.asarray(attrs[:, -1]),
+            jnp.asarray(cam.position), jnp.asarray(cam.forward),
+            jnp.asarray(cam.right), jnp.asarray(cam.up),
+            jnp.float32(cam.fov))
+    cfg0 = R.RasterConfig(**base)
+    img0, n_pairs, _ = R.render_frame(*args, width=W, height=H, cfg=cfg0)
+    # generous cap: saturated tiles exit long before 1024 entries
+    cfg1 = R.RasterConfig(**base, tile_list_cap=1024)
+    img1, _, _ = R.render_frame(*args, width=W, height=H, cfg=cfg1)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+
+    # tight cap: relayout output equals manual per-tile prefix truncation
+    cap = 32
+    cfgc = R.RasterConfig(**base, tile_list_cap=cap)
+    intrin = R.fov_intrin(jnp.float32(cam.fov), width=W, height=H)
+    cell_s, _k, starts, _n = R.bin_pairs(
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+        jnp.asarray(attrs[:, -1]),
+        jnp.asarray(cam.position), jnp.asarray(cam.forward),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), intrin,
+        width=W, height=H, cfg=cfgc,
+    )
+    cell_p, nstarts, lens = R.relayout_pairs(
+        cell_s, starts, width=W, height=H, cfg=cfgc
+    )
+    cell_p = np.asarray(cell_p)
+    cs, st = np.asarray(cell_s), np.asarray(starts)
+    for t in range(st.size - 1):
+        want = cs[st[t] : min(st[t] + cap, st[t + 1])]
+        got = cell_p[int(nstarts[t]) : int(nstarts[t]) + int(lens[t])]
+        np.testing.assert_array_equal(got, want)
+        assert int(lens[t]) == want.size

@@ -48,8 +48,15 @@ def main():
     ap.add_argument("--cap", type=int, default=1 << 22, help="max_pairs")
     ap.add_argument("--rw", type=int, default=8, help="reorder_window")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "float16"], help="row table dtype")
+                    choices=["float32", "float16", "bfloat16"],
+                    help="row table dtype (f16 does not lower on this "
+                         "Mosaic stack; bfloat16 is the working 2-byte "
+                         "path)")
     ap.add_argument("--cull", type=float, default=1e-3, help="alpha_cull")
+    ap.add_argument("--lcap", type=int, default=0, help="tile_list_cap")
+    ap.add_argument("--away", action="store_true",
+                    help="face away from the scene (near-empty tile "
+                         "lists: measures the per-tile kernel floor)")
     ap.add_argument("--stats", action="store_true",
                     help="report processed entries/tile (kernel stats "
                          "mode) instead of forced pops")
@@ -73,6 +80,7 @@ def main():
         sh_degree=SH, weight_threshold=0.05, tile=16,
         max_pairs=args.cap, alpha_cull=args.cull, table_k=K,
         entry_chunk=args.ce, reorder_window=args.rw, stats=args.stats,
+        tile_list_cap=args.lcap,
     )
     bbmin_d, bbmax_d = jnp.asarray(bb_min), jnp.asarray(bb_max)
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
@@ -92,7 +100,8 @@ def main():
           f"({rtable.size * dtype.itemsize / 1e9:.2f} GB)", flush=True)
 
     eye = np.array([4.5, 0.0, 1.5])
-    cam = look_at(eye, [0, 0, 0], [0, 0, 1], fov=1.0, width=W, height=H)
+    target = [9.0, 0.0, 3.0] if args.away else [0, 0, 0]
+    cam = look_at(eye, target, [0, 0, 1], fov=1.0, width=W, height=H)
     pos, fwd, rgt, up = [jnp.asarray(np.asarray(x, np.float32)) for x in
                          (cam.position, cam.forward, cam.right, cam.up)]
     fov = jnp.float32(1.0)
@@ -109,6 +118,8 @@ def main():
 
     lens_np = np.asarray(starts[1:] - starts[:-1])
     nz = lens_np[lens_np > 0]
+    if nz.size == 0:
+        nz = np.zeros(1, np.int64)  # --away: empty lists
     print("entries/tile: nonzero %d/%d mean %.0f p50 %d p90 %d p99 %d max %d"
           % ((lens_np > 0).sum(), lens_np.size, nz.mean(),
              *np.percentile(nz, [50, 90, 99]).astype(int), nz.max()),
