@@ -220,3 +220,83 @@ def collect_error_map_sharded(model, step_cfg, data_handler, mesh,
         jnp.asarray(starts.astype(np.int32)), jnp.asarray(valid),
     )
     return np.asarray(err), np.asarray(contrib)
+
+
+def make_sharded_raster_step(cfg, mesh, axis="data"):
+    """Camera-sharded raster training step (VERDICT r2 task 5).
+
+    The raster engine trains one camera's full image per step
+    (train/raster_step.py); across a mesh the natural data-parallel axis
+    is CAMERAS: every device renders its own view through the
+    differentiable rasterizer against the replicated scene, and the
+    gradients meet in one pmean — the same single-collective layout as
+    the walk DP step, and closer to the reference's mixed-image 1M-ray
+    batches than single-camera SGD.
+
+    ``cfg`` is a train.raster_step.RasterStepConfig. The returned step
+    takes per-device leading axes on (cam_basis (D, 4, 3), gt_rgb
+    (D, H, W, 3), gt_alpha (D, H, W, 1)) with everything else
+    replicated: step(params, opt_state, nbr_idx, bb_min, bb_max,
+    cam_basis, intrin, gt_rgb, gt_alpha, lrs, w_depth, key) ->
+    (params, opt_state, metrics).
+    """
+    from radfoam_tpu.ops.raster import _grid_shape
+    from radfoam_tpu.train.raster_step import make_raster_loss
+
+    rcfg = cfg.raster_config
+    W, H = cfg.width, cfg.height
+    ntx, nty = _grid_shape(W, H, rcfg.tile)
+    P_lanes = rcfg.tile * rcfg.tile
+    loss_core = make_raster_loss(cfg)
+
+    def local_grads(params, nbr_idx, bb_min, bb_max, cam_basis, intrin,
+                    gt_rgb, gt_alpha, w_depth, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        quant = jax.random.uniform(key, (ntx * nty, 2, P_lanes))
+        quant = -jnp.sort(-quant, axis=1)
+        intrin_t = tuple(intrin[i] for i in range(4))
+        dummy_dirs = jnp.zeros((1,), jnp.float32)
+
+        def loss_fn(p):
+            return loss_core(
+                p, nbr_idx, bb_min, bb_max, cam_basis[0], intrin_t,
+                gt_rgb[0], gt_alpha[0], quant, w_depth, dummy_dirs,
+                0.0, False,
+            )
+
+        (loss, (color_loss, n_pairs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        color_loss = jax.lax.pmean(color_loss, axis)
+        n_pairs = jax.lax.pmax(n_pairs, axis)
+        return grads, loss, color_loss, n_pairs
+
+    sharded_grads = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis, None, None), P(),
+                  P(axis, None, None, None), P(axis, None, None, None),
+                  P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, nbr_idx, bb_min, bb_max, cam_basis,
+             intrin, gt_rgb, gt_alpha, lrs, w_depth, key):
+        grads, loss, color_loss, n_pairs = sharded_grads(
+            params, nbr_idx, bb_min, bb_max, cam_basis, intrin, gt_rgb,
+            gt_alpha, w_depth, key,
+        )
+        updates, opt_state = _adam.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u, lr: p - lr * u, params, updates,
+            {k: lrs[k] for k in params},
+        )
+        return params, opt_state, {
+            "loss": loss, "color_loss": color_loss, "n_pairs": n_pairs,
+        }
+
+    return step

@@ -50,6 +50,48 @@ class RasterStepConfig:
                 and self._key == other._key)
 
 
+def make_raster_loss(cfg: RasterStepConfig):
+    """The raster step's loss as a standalone closure (shared by the
+    single-chip step and the camera-sharded multi-chip step).
+
+    loss_fn(params, nbr_idx, bb_min, bb_max, cam_basis (4, 3), intrin
+    (4,), gt_rgb, gt_alpha, quant (n_tiles, 2, P), w_depth, dir_grid,
+    pad_px, has_dirs) -> (loss, (color_loss, n_pairs)).
+    """
+    rcfg = cfg.raster_config
+    W, H = cfg.width, cfg.height
+
+    def loss_fn(p, nbr_idx, bb_min, bb_max, cam_basis, intrin_t, gt_rgb,
+                gt_alpha, quant, w_depth, dir_grid, pad_px, has_dirs):
+        attrs = activate_attributes(
+            p, cfg.activation_scale, cfg.attr_dtype
+        ).astype(jnp.float32)
+        img, n_pairs = render_train(
+            p["primal_points"], attrs, nbr_idx, bb_min, bb_max,
+            cam_basis[0], cam_basis[1], cam_basis[2], cam_basis[3],
+            intrin_t, quant, width=W, height=H, cfg=rcfg,
+            dir_grid=dir_grid if has_dirs else None, pad_px=pad_px,
+        )
+        img = img.astype(jnp.float32)
+        opacity = img[..., 3:4]
+        if cfg.white_background:
+            rgb = img[..., :3] + (1.0 - opacity)
+        else:
+            rgb = img[..., :3]
+
+        color_loss = smooth_l1(rgb, gt_rgb).mean()
+        opacity_loss = jnp.mean((gt_alpha - opacity) ** 2)
+
+        d0, d1 = img[..., 4], img[..., 5]
+        valid = (d0 > 0) & (d1 > 0)
+        quant_loss = jnp.mean(jnp.abs(d0 - d1) * valid)
+
+        loss = color_loss + opacity_loss + w_depth * quant_loss
+        return loss, (color_loss, n_pairs)
+
+    return loss_fn
+
+
 @lru_cache(maxsize=8)
 def make_raster_train_step(cfg: RasterStepConfig):
     """Build the jitted raster train step.
@@ -62,6 +104,7 @@ def make_raster_train_step(cfg: RasterStepConfig):
     W, H = cfg.width, cfg.height
     ntx, nty = _grid_shape(W, H, rcfg.tile)
     P = rcfg.tile * rcfg.tile
+    loss_core = make_raster_loss(cfg)
 
     @partial(jax.jit, donate_argnums=(0, 1),
              static_argnames=("has_dirs",))
@@ -73,31 +116,9 @@ def make_raster_train_step(cfg: RasterStepConfig):
         intrin_t = tuple(intrin[i] for i in range(4))
 
         def loss_fn(p):
-            attrs = activate_attributes(
-                p, cfg.activation_scale, cfg.attr_dtype
-            ).astype(jnp.float32)
-            img, n_pairs = render_train(
-                p["primal_points"], attrs, nbr_idx, bb_min, bb_max,
-                cam_basis[0], cam_basis[1], cam_basis[2], cam_basis[3],
-                intrin_t, quant, width=W, height=H, cfg=rcfg,
-                dir_grid=dir_grid if has_dirs else None, pad_px=pad_px,
-            )
-            img = img.astype(jnp.float32)
-            opacity = img[..., 3:4]
-            if cfg.white_background:
-                rgb = img[..., :3] + (1.0 - opacity)
-            else:
-                rgb = img[..., :3]
-
-            color_loss = smooth_l1(rgb, gt_rgb).mean()
-            opacity_loss = jnp.mean((gt_alpha - opacity) ** 2)
-
-            d0, d1 = img[..., 4], img[..., 5]
-            valid = (d0 > 0) & (d1 > 0)
-            quant_loss = jnp.mean(jnp.abs(d0 - d1) * valid)
-
-            loss = color_loss + opacity_loss + w_depth * quant_loss
-            return loss, (color_loss, n_pairs)
+            return loss_core(p, nbr_idx, bb_min, bb_max, cam_basis,
+                             intrin_t, gt_rgb, gt_alpha, quant, w_depth,
+                             dir_grid, pad_px, has_dirs)
 
         (loss, (color_loss, n_pairs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

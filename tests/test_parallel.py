@@ -189,3 +189,118 @@ def test_sharded_error_map_matches_serial():
     np.testing.assert_allclose(
         np.asarray(con_p), np.asarray(con_s), rtol=1e-4, atol=1e-6
     )
+
+
+def test_sharded_raster_step_matches_single():
+    """Camera-sharded raster DP step (VERDICT r2 task 5): an 8-device
+    mesh averaging 8 identical cameras must match the single-device
+    raster step on that camera (same loss, aligned update)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from radfoam_tpu.data.synthetic import (
+        make_ground_truth_scene, render_views,
+    )
+    from radfoam_tpu.models.scene import RadFoamScene
+    from radfoam_tpu.ops.cellbound import cell_bounds, clamp_bounds
+    from radfoam_tpu.ops.raster import RasterConfig, dataset_intrin
+    from radfoam_tpu.parallel.train import (
+        make_mesh, make_sharded_raster_step,
+    )
+    from radfoam_tpu.train.raster_step import (
+        RasterStepConfig, make_raster_train_step,
+    )
+    from radfoam_tpu.train.step import init_opt_state
+    from radfoam_tpu.delaunay import Triangulation
+    from radfoam_tpu.ops.adjacency import csr_to_padded
+
+    rng = np.random.default_rng(5)
+    n = 400
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tri = Triangulation(pts)
+    pts = pts[np.asarray(tri.permutation())]
+    table = csr_to_padded(
+        tri.point_adjacency(), tri.point_adjacency_offsets()
+    )
+    bb_min, bb_max, _ = cell_bounds(pts, tri.tets())
+    bb_min, bb_max, _ = clamp_bounds(pts, bb_min, bb_max)
+    sh = 1
+    D = (sh + 1) ** 2
+    params = {
+        "primal_points": jnp.asarray(pts),
+        "density": jnp.asarray(
+            rng.uniform(0.2, 1.0, (n, 1)).astype(np.float32)
+        ),
+        "att_dc": jnp.asarray(
+            rng.standard_normal((n, 3)).astype(np.float32) * 0.2
+        ),
+        "att_sh": jnp.zeros((n, 3 * (D - 1)), jnp.float32),
+    }
+    W = H = 32
+    # one GT view; all 8 devices see the same camera so the pmean is a
+    # no-op and the sharded step must match the single-device step
+    gt_pts, gt_attrs, gt_table, _ = make_ground_truth_scene(
+        n_points=300, sh_degree=sh, seed=2
+    )
+    rays, rgbs, alphas = render_views(
+        gt_pts, gt_attrs, gt_table, sh, n_views=1, wh=(W, H)
+    )
+    eye = rays[0, 0, 0, :3]
+    fwd = rays[0, H // 2, W // 2, 3:]
+    fwd = fwd / np.linalg.norm(fwd)
+    up0 = np.array([0, 0, 1.0], np.float32)
+    rgt = np.cross(fwd, up0)
+    rgt /= np.linalg.norm(rgt)
+    up = np.cross(rgt, fwd)
+    basis = np.stack([eye, fwd, rgt, up]).astype(np.float32)
+    focal = 0.5 * W / np.tan(np.deg2rad(25))
+    intrin = np.asarray(
+        dataset_intrin(focal, focal, W / 2, H / 2), np.float32
+    )
+
+    K = int(table.shape[1])
+    rcfg = RasterConfig(
+        sh_degree=sh, weight_threshold=1e-3, tile=16, max_pairs=1 << 14,
+        interpret=True, table_k=K, reorder_window=0,
+    )
+    cfg = RasterStepConfig(rcfg, 1.0, jnp.float32, True, W, H)
+
+    lrs = {k: 1e-3 for k in params}
+    key = jax.random.PRNGKey(0)
+    gt_rgb = jnp.asarray(rgbs[0])
+    gt_alpha = jnp.asarray(alphas[0].reshape(H, W, 1))
+
+    single = make_raster_train_step(cfg)
+    p1, _, m1 = single(
+        jax.tree.map(jnp.copy, params), init_opt_state(params),
+        jnp.asarray(table), jnp.asarray(bb_min), jnp.asarray(bb_max),
+        jnp.asarray(basis), jnp.asarray(intrin), gt_rgb, gt_alpha,
+        lrs, 1e-4, key,
+    )
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = make_sharded_raster_step(cfg, mesh)
+    D8 = 8
+    p2, _, m2 = sharded(
+        jax.tree.map(jnp.copy, params), init_opt_state(params),
+        jnp.asarray(table), jnp.asarray(bb_min), jnp.asarray(bb_max),
+        jnp.asarray(np.broadcast_to(basis, (D8, 4, 3)).copy()),
+        jnp.asarray(intrin),
+        jnp.asarray(np.broadcast_to(rgbs[0], (D8, H, W, 3)).copy()),
+        jnp.asarray(
+            np.broadcast_to(alphas[0].reshape(H, W, 1), (D8, H, W, 1))
+            .copy()
+        ),
+        lrs, 1e-4, key,
+    )
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    # per-device quantile RNG differs (axis fold), so bound loosely
+    assert abs(l1 - l2) / max(abs(l1), 1e-6) < 0.2
+    d1 = np.asarray(p1["att_dc"]) - np.asarray(params["att_dc"])
+    d2 = np.asarray(p2["att_dc"]) - np.asarray(params["att_dc"])
+    cos = (d1 * d2).sum() / (
+        np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12
+    )
+    assert cos > 0.9, cos
