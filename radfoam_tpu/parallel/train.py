@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from radfoam_tpu.models.scene import activate_attributes
 from radfoam_tpu.ops.trace import trace
 from radfoam_tpu.train.losses import smooth_l1
-from radfoam_tpu.train.step import StepConfig, _adam
+from radfoam_tpu.train.step import StepConfig, _adam, scrub_grads
 
 
 def make_mesh(devices=None, axis="data"):
@@ -87,6 +87,7 @@ def make_sharded_train_step(cfg: StepConfig, mesh, axis="data"):
         (loss, color_loss), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grads = scrub_grads(grads)
         # the one collective: gradient + metric all-reduce over ICI
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
@@ -267,6 +268,7 @@ def make_sharded_raster_step(cfg, mesh, axis="data"):
         (loss, (color_loss, n_pairs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grads = scrub_grads(grads)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         color_loss = jax.lax.pmean(color_loss, axis)

@@ -23,6 +23,7 @@ from radfoam_tpu.models.scene import activate_attributes
 from radfoam_tpu.ops.raster import RasterConfig, _grid_shape
 from radfoam_tpu.ops.raster_grad import render_train
 from radfoam_tpu.train.losses import smooth_l1
+from radfoam_tpu.train.step import scrub_grads
 
 _adam = optax.scale_by_adam(eps=1e-15)
 
@@ -123,6 +124,7 @@ def make_raster_train_step(cfg: RasterStepConfig):
         (loss, (color_loss, n_pairs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grads = scrub_grads(grads)
         updates, opt_state = _adam.update(grads, opt_state, params)
         params = jax.tree.map(
             lambda p, u, lr: p - lr * u, params, updates,

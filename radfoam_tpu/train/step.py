@@ -19,6 +19,16 @@ from radfoam_tpu.train.losses import smooth_l1
 _adam = optax.scale_by_adam(eps=1e-15)
 
 
+def scrub_grads(grads):
+    """Zero non-finite gradient entries before the optimizer touches
+    them (reference render.py:98-99 — without this, one degenerate
+    backward value, e.g. a near-parallel bisector-plane division,
+    permanently poisons the Adam moments)."""
+    return jax.tree.map(
+        lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+    )
+
+
 def init_opt_state(params):
     return _adam.init(params)
 
@@ -94,6 +104,7 @@ def make_train_step(cfg: StepConfig):
         (loss, color_loss), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grads = scrub_grads(grads)
         updates, opt_state = _adam.update(grads, opt_state, params)
         params = jax.tree.map(
             lambda p, u, lr: p - lr * u, params, updates,

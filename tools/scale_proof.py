@@ -212,5 +212,19 @@ out["inc_retri_stats"] = stats
 print(f"incremental retri (1e-6 motion): {out['inc_retri_s']}s "
       f"stats={stats}", flush=True)
 
+# steady-state (warm-margin) update — the cost training actually pays:
+# the first incremental scan certifies per-tet margins; every scan after
+# that (triangulation cadence <= 100 optimizer steps) re-checks only
+# tets whose vertices moved past their cached margin
+t0 = time.time()
+moved2 = moved + rng.standard_normal(pts.shape).astype(np.float32) * 1e-6
+tri.rebuild(moved2, incremental=True)
+out["inc_retri_warm_s"] = round(time.time() - t0, 1)
+out["inc_retri_warm_stats"] = getattr(
+    tri._backend, "last_update_stats", None
+)
+print(f"incremental retri (warm margins): {out['inc_retri_warm_s']}s "
+      f"stats={out['inc_retri_warm_stats']}", flush=True)
+
 out["total_s"] = round(time.time() - t_all, 1)
 print("SCALE_PROOF " + json.dumps(out), flush=True)
