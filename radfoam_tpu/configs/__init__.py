@@ -75,6 +75,10 @@ class PipelineParams(ParamGroup):
         # faster and parity-tested against the walk) — walk remains
         # available for exact-parity experiments via --train_engine walk
         ("train_engine", "raster"),
+        # raster backward: keep the top-S |dv| neighbor-plane gradients
+        # per pair (8 validated against S=K by tools/grad_planes_ab.py;
+        # 0 = exact, S=K)
+        ("grad_planes", 8),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

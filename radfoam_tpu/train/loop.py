@@ -293,10 +293,13 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
     # its gradient, plus the dnbr channel); 2M pairs keeps the 2M-point
     # worst case inside HBM — overflow truncates with a warning below
     cap = int(min(2 << 20, max(1 << 18, 8 * model.capacity)))
+    gp = int(getattr(pipeline_args, "grad_planes", 8))
+    if gp <= 0:
+        gp = int(model.pad_degree)  # exact: keep every neighbor plane
     rcfg = RasterConfig(
         sh_degree=model.sh_degree, weight_threshold=1e-3, tile=16,
         max_pairs=cap, alpha_cull=0.0, table_k=int(model.pad_degree),
-        reorder_window=0,
+        reorder_window=0, grad_planes=gp,
     )
     rstep = make_raster_train_step(
         RasterStepConfig(
