@@ -76,8 +76,8 @@ class PipelineParams(ParamGroup):
         # available for exact-parity experiments via --train_engine walk
         ("train_engine", "raster"),
         # raster backward: keep the top-S |dv| neighbor-plane gradients
-        # per pair (8 validated against S=K by tools/grad_planes_ab.py;
-        # 0 = exact, S=K)
+        # per pair (0 = exact, S=K). A/B numbers: tools/grad_planes_ab.py,
+        # results in DEVNOTES "grad_planes A/B"
         ("grad_planes", 8),
         ("experiment_name", ""),
         ("debug", False),

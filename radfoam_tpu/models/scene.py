@@ -381,7 +381,24 @@ class RadFoamScene:
             from radfoam_tpu.ops.cellbound import clamp_bounds
 
             pts = np.asarray(self.params["primal_points"][: self.n_points])
-            bb_min, bb_max, _ = self.triangulation.cell_bounds(pts)
+            if getattr(self, "_loaded_bounds", None) is not None:
+                # checkpoint carried its raw cell AABBs (save_pt extras)
+                bb_min, bb_max = self._loaded_bounds
+            else:
+                try:
+                    bb_min, bb_max, _ = self.triangulation.cell_bounds(pts)
+                except Exception:
+                    # CSR-only triangulation (reference-trained model.pt):
+                    # build a throwaway triangulation for the geometry and
+                    # map its sorted-order bounds back to checkpoint order
+                    tri = Triangulation()
+                    tri.rebuild(pts, incremental=False)
+                    perm = np.asarray(tri.permutation(), np.int64)
+                    bmin_s, bmax_s, _ = tri.cell_bounds(pts[perm])
+                    bb_min = np.empty_like(bmin_s)
+                    bb_max = np.empty_like(bmax_s)
+                    bb_min[perm] = bmin_s
+                    bb_max[perm] = bmax_s
             bb_min, bb_max, _ = clamp_bounds(pts, bb_min, bb_max)
             pad_min = np.zeros((self.capacity, 3), np.float32)
             pad_max = np.zeros((self.capacity, 3), np.float32)
@@ -692,6 +709,23 @@ class RadFoamScene:
                 np.asarray(self.point_adjacency_offsets, dtype=np.int64)
             ),
         }
+        # extra (non-reference) keys: raw per-cell Voronoi AABBs so the
+        # raster engine can evaluate a loaded checkpoint without a full
+        # re-triangulation. The reference load_pt reads its own keys only,
+        # so the file stays binary-compatible both ways.
+        try:
+            pts = np.asarray(
+                self.params["primal_points"][: self.n_points]
+            )
+            bb_min, bb_max, _ = self.triangulation.cell_bounds(pts)
+            scene_data["cell_bb_min"] = torch.from_numpy(
+                np.asarray(bb_min, np.float32)
+            )
+            scene_data["cell_bb_max"] = torch.from_numpy(
+                np.asarray(bb_max, np.float32)
+            )
+        except Exception:
+            pass  # CSR-only triangulation (e.g. loaded checkpoint)
         torch.save(scene_data, pt_path)
 
     def load_pt(self, pt_path):

@@ -108,13 +108,30 @@ def raster_test_render(model, pipeline_args, test_data_handler,
     psnr_list = []
     for i in range(n_views):
         basis = ctx.camera(i)
-        img, _n_pairs, _forced = render_frame_staged(
-            ctx.table, ctx.bb_min, ctx.bb_max, ctx.density,
-            basis[0], basis[1], basis[2], basis[3], jnp.float32(1.0),
-            width=ctx.width, height=ctx.height, cfg=cfg,
-            dir_grid=ctx.dir_grid, pad_px=ctx.pad_px,
-            intrin=tuple(jnp.float32(v) for v in ctx.intrin),
-        )
+        # pair-capacity overflow truncates the image silently inside the
+        # kernel — never report a PSNR for a truncated render: retry with
+        # a doubled cap (recompiles; overflow is rare) and warn.
+        for _attempt in range(4):
+            img, n_pairs, _forced = render_frame_staged(
+                ctx.table, ctx.bb_min, ctx.bb_max, ctx.density,
+                basis[0], basis[1], basis[2], basis[3], jnp.float32(1.0),
+                width=ctx.width, height=ctx.height, cfg=cfg,
+                dir_grid=ctx.dir_grid, pad_px=ctx.pad_px,
+                intrin=tuple(jnp.float32(v) for v in ctx.intrin),
+            )
+            if int(n_pairs) <= cfg.max_pairs:
+                break
+            print(
+                f"warning: view {i} overflowed the pair capacity "
+                f"({int(n_pairs)} > {cfg.max_pairs}); retrying with a "
+                f"doubled cap"
+            )
+            cfg = cfg._replace(max_pairs=2 * cfg.max_pairs)
+        else:
+            raise RuntimeError(
+                f"view {i}: pair capacity still exceeded at "
+                f"{cfg.max_pairs} — refusing to write a truncated PSNR"
+            )
         img = np.asarray(img)
         rgb = img[..., :3]
         if pipeline_args.white_background:

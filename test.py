@@ -27,7 +27,7 @@ def test(args, pipeline_args, model_args, optimizer_args, dataset_args):
     from radfoam_tpu.data import DataHandler
     from radfoam_tpu.models.scene import RadFoamScene
     from radfoam_tpu.ops.trace import TraceConfig
-    from radfoam_tpu.train.loop import test_render
+    from radfoam_tpu.train.loop import raster_test_render, test_render
     from radfoam_tpu.train.step import StepConfig
 
     checkpoint = args.config.replace("/config.yaml", "")
@@ -41,14 +41,25 @@ def test(args, pipeline_args, model_args, optimizer_args, dataset_args):
     model = RadFoamScene(args=model_args)
     model.load_pt(f"{checkpoint}/model.pt")
 
-    step_cfg = StepConfig(
-        TraceConfig(sh_degree=model.sh_degree, num_quantiles=0),
-        model.activation_scale, jnp.float32, True,
-    )
-    avg = test_render(
-        model, step_cfg, test_data_handler, out_dir=checkpoint,
-        save_images=True,
-    )
+    # engine: the raster engine evaluates a 2M-point checkpoint in
+    # minutes (reference test.py:55-87 pace); the walk engine is the
+    # exact-parity oracle (~105 s/view at 2M points). Defaults to the
+    # pipeline's train_engine.
+    engine = args.engine or pipeline_args.train_engine
+    if engine == "raster":
+        avg = raster_test_render(
+            model, pipeline_args, test_data_handler, out_dir=checkpoint,
+            save_images=True,
+        )
+    else:
+        step_cfg = StepConfig(
+            TraceConfig(sh_degree=model.sh_degree, num_quantiles=0),
+            model.activation_scale, jnp.float32, True,
+        )
+        avg = test_render(
+            model, step_cfg, test_data_handler, out_dir=checkpoint,
+            save_images=True,
+        )
     print(f"Average PSNR: {avg}")
 
 
@@ -62,6 +73,10 @@ def main():
 
     parser.add_argument(
         "-c", "--config", is_config_file=True, help="Path to config file"
+    )
+    parser.add_argument(
+        "--engine", choices=["raster", "walk"], default=None,
+        help="render engine (default: the pipeline's train_engine)",
     )
 
     args = parser.parse_args()

@@ -104,9 +104,8 @@ def _run(args, cwd, timeout=600):
     return proc
 
 
-def test_cli_train_test_benchmark_viewer(blender_dataset, tmp_path):
-    workdir = str(tmp_path)
-    common = [
+def _common_flags(blender_dataset):
+    return [
         "--dataset", "blender",
         "--data_path", blender_dataset,
         "--scene", "blob",
@@ -116,36 +115,58 @@ def test_cli_train_test_benchmark_viewer(blender_dataset, tmp_path):
         "--init_points", "512",
         "--final_points", "1024",
     ]
+
+
+@pytest.fixture(scope="module")
+def trained_output(blender_dataset, tmp_path_factory):
+    """Run train.py once; the per-CLI tests below each consume its
+    checkpoint independently (a train failure errors them all with the
+    train traceback instead of masking their own assertions)."""
+    workdir = str(tmp_path_factory.mktemp("cli_run"))
     _run(
         [os.path.join(REPO, "train.py"),
          "--iterations", "12",
          "--densify_from", "4", "--densify_until", "10",
          "--freeze_points", "11",
          "--experiment_name", "smoke",
-         *common],
+         *_common_flags(blender_dataset)],
         cwd=workdir, timeout=900,
     )
-    out_dir = os.path.join(workdir, "output", "smoke")
-    assert os.path.exists(os.path.join(out_dir, "model.pt"))
-    assert os.path.exists(os.path.join(out_dir, "scene.ply"))
-    assert os.path.exists(os.path.join(out_dir, "config.yaml"))
-    assert os.path.exists(os.path.join(out_dir, "metrics.txt"))
+    return workdir, os.path.join(workdir, "output", "smoke")
 
+
+def test_cli_train_artifacts(trained_output):
+    _, out_dir = trained_output
+    for name in ("model.pt", "scene.ply", "config.yaml", "metrics.txt"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+
+
+def test_cli_test(trained_output, blender_dataset):
+    workdir, out_dir = trained_output
     cfg = os.path.join(out_dir, "config.yaml")
-    _run([os.path.join(REPO, "test.py"), "-c", cfg, *common],
-         cwd=workdir)
+    _run([os.path.join(REPO, "test.py"), "-c", cfg,
+          *_common_flags(blender_dataset)], cwd=workdir)
     with open(os.path.join(out_dir, "metrics.txt")) as f:
         assert "Average PSNR" in f.read()
 
+
+def test_cli_benchmark(trained_output, blender_dataset):
+    workdir, out_dir = trained_output
+    cfg = os.path.join(out_dir, "config.yaml")
     bench = _run(
-        [os.path.join(REPO, "benchmark.py"), "-c", cfg, *common],
+        [os.path.join(REPO, "benchmark.py"), "-c", cfg,
+         *_common_flags(blender_dataset)],
         cwd=workdir,
     )
     assert "FPS:" in bench.stdout
 
+
+def test_cli_viewer_turntable(trained_output, blender_dataset):
+    workdir, out_dir = trained_output
+    cfg = os.path.join(out_dir, "config.yaml")
     _run(
         [os.path.join(REPO, "viewer.py"), "-c", cfg, "--turntable",
-         "--frames", "2", *common],
+         "--frames", "2", *_common_flags(blender_dataset)],
         cwd=workdir,
     )
     assert os.path.exists(

@@ -58,7 +58,18 @@ def grad_fidelity(n_points, sh, wh):
             reorder_window=0, grad_planes=S,
         )
         ntx, nty = _grid_shape(wh, wh, cfg.tile)
-        qlv = jnp.zeros((ntx * nty, 1, cfg.tile * cfg.tile), np.float32)
+        # valid descending quantile levels in (0, 1], like the real train
+        # step (train/raster_step.py) — all-zero levels drive
+        # log(qlv) = -inf in the backward quantile path and NaN the
+        # d_attrs density column
+        qlv = -jnp.sort(
+            -jax.random.uniform(
+                jax.random.PRNGKey(0),
+                (ntx * nty, 2, cfg.tile * cfg.tile),
+                minval=1e-4, maxval=1.0,
+            ),
+            axis=1,
+        )
 
         def loss(p, a):
             img, _ = render_train(
@@ -88,11 +99,15 @@ def grad_fidelity(n_points, sh, wh):
         return cos, rel
 
     pcos, prel = stats(out["S8"][0], out["SK"][0])
-    acos, arel = stats(out["S8"][1], out["SK"][1])
+    # grad_planes only gates NEIGHBOR-side position gradients; attribute
+    # gradients are bit-identical in both arms by construction — report
+    # the max abs diff as a sanity check (must be ~0), not a fidelity
+    # metric. The meaningful fidelity number is d_points.
+    attr_diff = float(np.max(np.abs(out["S8"][1] - out["SK"][1])))
     print(
         f"GRAD_FIDELITY n={n_points} K={K} "
         f"d_points cos={pcos:.6f} rel_l2={prel:.4f} "
-        f"d_attrs cos={acos:.6f} rel_l2={arel:.4f}"
+        f"d_attrs_sanity max|S8-SK|={attr_diff:.2e} (expect 0)"
     )
     return pcos, prel
 
@@ -151,7 +166,12 @@ def convergence(n_points, sh, wh, iters, grad_planes):
         downsample_iterations = [0]
 
     def handler_cls(*_a, **_k):
-        return SyntheticDataHandler(rays, rgbs, alphas, cams=cams)
+        # points3D seeds the scene from the GT point cloud (like the
+        # raster train smoke test) — without it train() random-initializes
+        # a Gaussian cloud at scale 25 against a radius-2 scene and the
+        # 120-iter PSNRs are init-dominated
+        return SyntheticDataHandler(rays, rgbs, alphas, points3D=pts,
+                                    cams=cams)
 
     _, psnr, _ = train(
         None, PipelineArgs(), ModelArgs(), OptimizerArgs(), DatasetArgs(),
