@@ -122,6 +122,132 @@ class Pipeline:
             result["contribution"] = out.contribution[:, None]
         return result
 
+    def trace_backward(self, points, attributes, point_adjacency,
+                       point_adjacency_offsets, rays, start_point,
+                       rgba, depth_indices=None, rgba_grad=None,
+                       depth_grad=None, ray_error=None,
+                       depth_quantiles=None, weight_threshold=0.001,
+                       max_intersections=1024):
+        """Analytic backward walk; the reference binding surface
+        (pipeline_bindings.cpp:267-497).
+
+        Returns a dict {points_grad, attr_grad, ray_grad, point_error}.
+        ``ray_grad`` is returned zero-filled: the reference's autograd
+        bridge discards it too (render.py:112-122), so no consumer exists;
+        it is present for result-dict parity. ``point_error`` is None
+        unless ``ray_error`` is given (the ErrorBox side channel,
+        render.py:4-8).
+        """
+        rays = jnp.asarray(rays)
+        shape = rays.shape[:-1]
+        rays_flat = rays.reshape(-1, 6)
+        R = rays_flat.shape[0]
+        start = jnp.broadcast_to(
+            jnp.asarray(start_point), shape
+        ).reshape(-1).astype(jnp.int32)
+        nq = 0
+        quant = jnp.zeros((R, 0), jnp.float32)
+        qpoint = jnp.zeros((R, 0), jnp.int32)
+        g_depth = jnp.zeros((R, 0), jnp.float32)
+        if depth_quantiles is not None:
+            nq = depth_quantiles.shape[-1]
+            quant = jnp.asarray(depth_quantiles).reshape(-1, nq)
+            qpoint = jnp.asarray(depth_indices).reshape(-1, nq)
+            g_depth = (
+                jnp.asarray(depth_grad).reshape(-1, nq)
+                if depth_grad is not None else jnp.zeros((R, nq), jnp.float32)
+            )
+        g_rgba = (
+            jnp.asarray(rgba_grad).reshape(-1, 4)
+            if rgba_grad is not None else jnp.zeros((R, 4), jnp.float32)
+        )
+        err = (
+            jnp.asarray(ray_error).reshape(-1)
+            if ray_error is not None else None
+        )
+        nbr_idx = self._padded(point_adjacency, point_adjacency_offsets)
+        cfg = TraceConfig(
+            sh_degree=self.sh_degree, num_quantiles=nq,
+            weight_threshold=weight_threshold,
+            max_intersections=max_intersections,
+        )
+        points_grad, attr_grad, point_err = trace_mod._trace_backward_impl(
+            cfg, jnp.asarray(points),
+            jnp.asarray(attributes, dtype=self.attr_dtype), nbr_idx,
+            rays_flat, start, quant,
+            jnp.asarray(rgba).reshape(-1, 4), qpoint, g_rgba, g_depth,
+            ray_error=err,
+        )
+        return {
+            "points_grad": points_grad,
+            "attr_grad": attr_grad,
+            "ray_grad": jnp.zeros_like(rays),
+            "point_error": point_err,
+        }
+
+    def trace_visualization(self, points, attributes, point_adjacency,
+                            point_adjacency_offsets, camera, start_point,
+                            vis_mode="rgb", color_map="viridis",
+                            weight_threshold=0.05, max_intersections=1024,
+                            depth_quantile=0.5, max_depth=10.0,
+                            background="checker"):
+        """Render one camera in a visualization mode (pipeline.cu:346-470):
+        rgb (over a checkerboard or solid background), depth (quantile
+        colormap), alpha, or intersections heat map. Returns (H, W, 3)
+        float32 in [0, 1]. This is the kernel the interactive viewer calls
+        per frame (viewer/viewer.py delegates the same math)."""
+        if isinstance(camera, dict):
+            camera = Camera.from_dict(camera)
+        nbr_idx = self._padded(point_adjacency, point_adjacency_offsets)
+        rays = cast_rays(camera).reshape(-1, 6)
+        R = rays.shape[0]
+        nq = 1 if vis_mode == "depth" else 0
+        cfg = TraceConfig(
+            sh_degree=self.sh_degree, num_quantiles=nq,
+            weight_threshold=weight_threshold,
+            max_intersections=max_intersections, chunk_size=1 << 17,
+        )
+        quant = (
+            jnp.full((R, 1), float(depth_quantile), jnp.float32)
+            if nq else jnp.zeros((R, 0), jnp.float32)
+        )
+        out = _jitted_forward(cfg)(
+            jnp.asarray(points),
+            jnp.asarray(attributes, dtype=self.attr_dtype), nbr_idx, rays,
+            jnp.full((R,), int(start_point), jnp.int32), quant,
+        )
+        h, w = camera.height, camera.width
+        rgba = np.asarray(out.rgba, np.float32).reshape(h, w, 4)
+        if vis_mode == "rgb":
+            if background == "solid":
+                bg = np.float32(1.0)
+            else:
+                yy, xx = np.mgrid[0:h, 0:w]
+                checker = (
+                    (((xx // 20) % 2) * 2 - 1) * (((yy // 20) % 2) * 2 - 1)
+                )
+                bg = np.where(checker[..., None] > 0, 0.3, 0.5).astype(
+                    np.float32
+                )
+            img = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
+        elif vis_mode == "alpha":
+            img = np.repeat(rgba[..., 3:], 3, axis=-1)
+        elif vis_mode == "depth":
+            from radfoam_tpu.viewer.colormaps import apply_colormap
+
+            d = np.asarray(out.depth, np.float32).reshape(h, w)
+            img = apply_colormap(d / max_depth, color_map)
+        elif vis_mode == "intersections":
+            from radfoam_tpu.viewer.colormaps import apply_colormap
+
+            nint = np.asarray(out.num_intersections, np.float32).reshape(
+                h, w
+            )
+            img = apply_colormap(nint / 256.0, color_map)
+        else:
+            raise ValueError(f"unknown vis_mode {vis_mode!r}")
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
     def _raster_scene(self, points, attributes):
         """Triangulation-derived raster inputs, cached by points content."""
         import jax

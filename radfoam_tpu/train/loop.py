@@ -27,6 +27,20 @@ from radfoam_tpu.train.step import (
 from radfoam_tpu.utils.math import psnr
 
 
+def pair_capacity(capacity, width, height):
+    """Static pair-buffer capacity for the raster engine.
+
+    Pairs scale with BOTH the live point count (dense scenes) and the image
+    area (sparse scenes: each cell covers many pixels — measured 0.7-1.3
+    pairs/pixel from 32k to 2M points), so the cap floors at 1.5x the pixel
+    count; 8x the point capacity covers the dense regime; 2M pairs bounds
+    the step's dominant buffers inside HBM at the 2M-point worst case.
+    """
+    return int(
+        min(2 << 20, max(1 << 18, 8 * capacity, (width * height * 3) // 2))
+    )
+
+
 def camera_start_points(model, data_handler):
     """Per-image trace start cells from each camera origin."""
     origins = np.asarray(data_handler.rays[:, 0, 0, :3])
@@ -99,7 +113,7 @@ def raster_test_render(model, pipeline_args, test_data_handler,
     from radfoam_tpu.ops.raster import render_frame_staged
 
     ctx = RasterSceneCtx(model, test_data_handler)
-    cap = int(min(2 << 20, max(1 << 18, 8 * model.capacity)))
+    cap = pair_capacity(model.capacity, ctx.width, ctx.height)
     cfg = ctx.eval_cfg(cap)
     rays = test_data_handler.rays
     n_views = rays.shape[0] if max_views is None else min(
@@ -167,7 +181,7 @@ def collect_error_map_raster(model, pipeline_args, data_handler):
     from radfoam_tpu.ops.raster_grad import render_error_map
 
     ctx = RasterSceneCtx(model, data_handler, with_nbr_ids=True)
-    cap = int(min(2 << 20, max(1 << 18, 8 * model.capacity)))
+    cap = pair_capacity(model.capacity, ctx.width, ctx.height)
     cfg = RasterConfig(
         sh_degree=model.sh_degree, weight_threshold=1e-3, tile=16,
         max_pairs=cap, alpha_cull=0.0, table_k=int(model.pad_degree),
@@ -307,9 +321,9 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
     intrin = jnp.asarray(intrin_np)
     bb_min, bb_max = model.raster_bounds()
     # pair cap sizes the step's dominant buffers (rows is aliased into
-    # its gradient, plus the dnbr channel); 2M pairs keeps the 2M-point
-    # worst case inside HBM — overflow truncates with a warning below
-    cap = int(min(2 << 20, max(1 << 18, 8 * model.capacity)))
+    # its gradient, plus the dnbr channel); overflow truncates with a
+    # warning at the periodic sync below
+    cap = pair_capacity(model.capacity, Wd, Hd)
     gp = int(getattr(pipeline_args, "grad_planes", 8))
     if gp <= 0:
         gp = int(model.pad_degree)  # exact: keep every neighbor plane

@@ -51,6 +51,7 @@ class ViewerOptions:
     max_depth: float = 10.0
     max_intersections: int = 1024
     camera_model: str = "pinhole"  # or "fisheye"
+    background: str = "checker"  # or "solid" (reference viewer.cpp:806-812)
     port: int = 8090
 
 
@@ -155,12 +156,17 @@ class Viewer:
             o.height, o.width, 4
         )
         if self.vis_mode == "rgb":
-            # checkerboard background like the reference's default
-            yy, xx = np.mgrid[0 : o.height, 0 : o.width]
-            checker = (((xx // 20) % 2) * 2 - 1) * (((yy // 20) % 2) * 2 - 1)
-            bg = np.where(checker[..., None] > 0, 0.3, 0.5).astype(
-                np.float32
-            )
+            # checkerboard or solid background (reference viewer.cpp:806-812)
+            if o.background == "solid":
+                bg = np.float32(1.0)
+            else:
+                yy, xx = np.mgrid[0 : o.height, 0 : o.width]
+                checker = (
+                    (((xx // 20) % 2) * 2 - 1) * (((yy // 20) % 2) * 2 - 1)
+                )
+                bg = np.where(checker[..., None] > 0, 0.3, 0.5).astype(
+                    np.float32
+                )
             img = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
         elif self.vis_mode == "alpha":
             img = np.repeat(rgba[..., 3:], 3, axis=-1)
@@ -228,6 +234,14 @@ fov<input id="fov" type="range" min="20" max="180" value="60"
  oninput="cmd('fov&v='+this.value)" style="width:90px"/>
 max-int<input id="maxi" type="number" min="16" max="4096" value="1024"
  onchange="cmd('maxi&v='+this.value)" style="width:64px"/>
+wt 1e-<input id="wt" type="range" min="1" max="6" step="0.5" value="1.3"
+ oninput="cmd('wt&v='+Math.pow(10,-this.value))" style="width:70px"/>
+depth-q<input id="dq" type="range" min="0.01" max="0.99" step="0.01"
+ value="0.5" oninput="cmd('dq&v='+this.value)" style="width:70px"/>
+<select id="bg" onchange="cmd('bg&v='+this.value)">
+<option>checker</option><option>solid</option></select>
+fps-cap<input id="fps" type="number" min="1" max="60" value="20"
+ onchange="cmd('fps&v='+this.value)" style="width:48px"/>
 <span id="st"></span>
 </div>
 <img id="f" width="960" height="540"/>
@@ -267,6 +281,7 @@ def serve_viewer(viewer: Viewer, port=None):
     from urllib.parse import urlparse, parse_qs
 
     port = port or viewer.options.port
+    frame_cache = {"png": None, "t": 0.0, "lock": threading.Lock()}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -282,19 +297,32 @@ def serve_viewer(viewer: Viewer, port=None):
                 self.end_headers()
                 self.wfile.write(body)
             elif url.path == "/frame.png":
-                img = viewer.render_frame()
-                if img is None:
-                    self.send_response(503)
-                    self.end_headers()
-                    return
-                from PIL import Image
+                # framerate cap while training (reference viewer.cpp:967-981):
+                # requests arriving faster than max_framerate are served the
+                # cached frame so render work never exceeds the cap.
+                now = time.monotonic()
+                min_dt = 1.0 / max(viewer.options.max_framerate, 1e-3)
+                with frame_cache["lock"]:
+                    png = frame_cache["png"]
+                    stale = now - frame_cache["t"] >= min_dt
+                if stale or png is None:
+                    img = viewer.render_frame()
+                    if img is None:
+                        self.send_response(503)
+                        self.end_headers()
+                        return
+                    from PIL import Image
 
-                buf = io.BytesIO()
-                Image.fromarray(img).save(buf, format="PNG")
+                    buf = io.BytesIO()
+                    Image.fromarray(img).save(buf, format="PNG")
+                    png = buf.getvalue()
+                    with frame_cache["lock"]:
+                        frame_cache["png"] = png
+                        frame_cache["t"] = now
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.end_headers()
-                self.wfile.write(buf.getvalue())
+                self.wfile.write(png)
             elif url.path == "/status":
                 body = json.dumps({
                     "iteration": viewer.iteration,
@@ -336,6 +364,24 @@ def serve_viewer(viewer: Viewer, port=None):
                 elif c == "maxi":
                     viewer.options.max_intersections = min(
                         max(int(float(q.get("v", [1024])[0])), 16), 4096
+                    )
+                elif c == "wt":
+                    # weight-threshold slider (viewer.cpp:815-820)
+                    viewer.options.weight_threshold = min(
+                        max(float(q.get("v", [0.05])[0]), 1e-6), 0.5
+                    )
+                elif c == "dq":
+                    # depth-percentile slider (viewer.cpp:829-833)
+                    viewer.options.depth_quantile = min(
+                        max(float(q.get("v", [0.5])[0]), 0.01), 0.99
+                    )
+                elif c == "bg":
+                    v = q.get("v", ["checker"])[0]
+                    if v in ("checker", "solid"):
+                        viewer.options.background = v
+                elif c == "fps":
+                    viewer.options.max_framerate = min(
+                        max(float(q.get("v", [20])[0]), 1.0), 60.0
                     )
                 elif c == "move":
                     s = 0.1

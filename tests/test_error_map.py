@@ -10,6 +10,7 @@ vs two independent oracles:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,8 @@ from radfoam_tpu.ops.camera import cast_rays
 from radfoam_tpu.ops.trace import TraceConfig, trace
 
 from tests.test_raster import build_scene, cam_setup
+
+pytestmark = pytest.mark.slow
 
 
 def _args(pts, attrs, table, bounds):

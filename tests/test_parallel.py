@@ -11,6 +11,8 @@ from radfoam_tpu.ops.trace import TraceConfig
 from radfoam_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
 from radfoam_tpu.train.step import StepConfig, init_opt_state, make_train_step
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

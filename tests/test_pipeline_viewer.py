@@ -140,6 +140,7 @@ def test_turntable_renderer(small_scene, tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+@pytest.mark.slow
 def test_trace_benchmark_raster_engine_close_to_walk():
     """Pipeline.trace_benchmark engine='raster' must render the same image
     as the walk engine (up to hull-wedge and packing differences)."""
@@ -178,3 +179,88 @@ def test_trace_benchmark_raster_engine_close_to_walk():
     mse = float(np.mean((a - b) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-12))
     assert psnr > 40.0, psnr
+
+
+def test_pipeline_trace_backward_matches_autodiff(small_scene):
+    """The facade backward (pipeline_bindings.cpp:267-497 surface) returns
+    the same gradients JAX autodiff produces through trace()."""
+    import jax
+
+    from radfoam_tpu.ops.adjacency import csr_to_padded
+    from radfoam_tpu.ops.trace import TraceConfig, trace
+
+    pts, attrs, tri = small_scene
+    pipe = create_pipeline(1, "float32")
+    # rays through the middle of the cloud so gradients are non-trivial
+    origins = np.array([[3.0, 0.0, 0.0]] * 6, np.float32)
+    targets = pts[10:16]
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = np.concatenate([origins, dirs.astype(np.float32)], axis=-1)
+    start = np.full(
+        (6,), np.argmin(np.sum((pts - origins[0]) ** 2, axis=1)), np.int32
+    )
+    w = np.linspace(0.2, 1.0, 24).reshape(6, 4).astype(np.float32)
+
+    table = csr_to_padded(
+        tri.point_adjacency(), tri.point_adjacency_offsets()
+    )
+    cfg = TraceConfig(sh_degree=1, num_quantiles=0)
+
+    def loss(p, a):
+        out = trace(p, a, jnp.asarray(table), jnp.asarray(rays), start,
+                    config=cfg)
+        return jnp.sum(out.rgba * w)
+
+    gp, ga = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(pts), jnp.asarray(attrs)
+    )
+
+    fwd = pipe.trace_forward(
+        pts, attrs, tri.point_adjacency(), tri.point_adjacency_offsets(),
+        rays, start,
+    )
+    res = pipe.trace_backward(
+        pts, attrs, tri.point_adjacency(), tri.point_adjacency_offsets(),
+        rays, start, rgba=fwd["rgba"], rgba_grad=w,
+        ray_error=np.ones(6, np.float32),
+    )
+    assert set(res.keys()) == {
+        "points_grad", "attr_grad", "ray_grad", "point_error"
+    }
+    np.testing.assert_allclose(
+        np.asarray(res["points_grad"]), np.asarray(gp), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["attr_grad"]), np.asarray(ga), rtol=2e-4, atol=2e-5
+    )
+    pe = np.asarray(res["point_error"])
+    assert pe.shape == (pts.shape[0],) and pe.sum() > 0
+
+
+def test_pipeline_trace_visualization_modes(small_scene):
+    pts, attrs, tri = small_scene
+    pipe = create_pipeline(1, "float32")
+    camera = {
+        "position": [3.0, 0.0, 0.0],
+        "forward": [-1.0, 0.0, 0.0],
+        "right": [0.0, 1.0, 0.0],
+        "up": [0.0, 0.0, 1.0],
+        "fov": np.deg2rad(60),
+        "width": 16,
+        "height": 12,
+        "model": "pinhole",
+    }
+    for mode in ("rgb", "depth", "alpha", "intersections"):
+        img = pipe.trace_visualization(
+            pts, attrs, tri.point_adjacency(),
+            tri.point_adjacency_offsets(), camera, 0, vis_mode=mode,
+        )
+        assert img.shape == (12, 16, 3)
+        assert img.dtype == np.float32
+        assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+    solid = pipe.trace_visualization(
+        pts, attrs, tri.point_adjacency(), tri.point_adjacency_offsets(),
+        camera, 0, vis_mode="rgb", background="solid",
+    )
+    assert solid.shape == (12, 16, 3)

@@ -19,6 +19,8 @@ from radfoam_tpu.ops.cellbound import cell_bounds, cell_radii
 from radfoam_tpu.ops.trace import TraceConfig, trace
 from radfoam_tpu.ops import raster as R
 
+pytestmark = pytest.mark.slow
+
 
 def build_scene(n_points=3000, sh_degree=2, seed=7, saturate=True):
     rng = np.random.default_rng(seed)

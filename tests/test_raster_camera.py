@@ -26,6 +26,8 @@ from radfoam_tpu.ops import raster as R
 
 from tests.test_raster import build_scene, cam_setup, psnr, walk_image
 
+pytestmark = pytest.mark.slow
+
 
 def pinhole_cam_dirs(width, height, fov):
     """Camera-frame pinhole dirs in cast_rays' pixel convention

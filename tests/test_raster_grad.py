@@ -8,6 +8,7 @@ isolating the kernel math.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +17,8 @@ from radfoam_tpu.ops import raster_grad as RG
 from radfoam_tpu.ops.camera import look_at
 
 from tests.test_raster import build_scene, cam_setup
+
+pytestmark = pytest.mark.slow
 
 
 def _ref_render(points, attrs, nbr_idx, bb_min, bb_max, cam, qlv_tiles,
@@ -295,3 +298,46 @@ def test_raster_train_smoke():
         f"raster training did not improve: "
         f"{initial_psnr:.2f} -> {final_psnr:.2f}"
     )
+
+
+def test_train_gradients_grad_planes_default():
+    """The SHIPPED default (grad_planes=8, configs/__init__.py) against the
+    exact S=K gradients: S only gates sub-top-8 NEIGHBOR-side plane
+    gradients per pair, so attribute gradients are bit-identical and point
+    gradients stay within a small cosine/relative-L2 budget (measured
+    chip-scale numbers in DEVNOTES "grad_planes A/B")."""
+    pts, attrs, table, bounds, cam, cfg, qlv = _setup()
+    W = H = 32
+    rng = np.random.default_rng(4)
+    wimg = jnp.asarray(
+        rng.standard_normal((H, W, 4 + qlv.shape[1])).astype(np.float32)
+    )
+    targs = (jnp.asarray(table), jnp.asarray(bounds[0]),
+             jnp.asarray(bounds[1]))
+
+    def loss(p, a, c):
+        img, _ = RG.render_train(
+            p, a, *targs, jnp.asarray(cam.position),
+            jnp.asarray(cam.forward), jnp.asarray(cam.right),
+            jnp.asarray(cam.up),
+            R.fov_intrin(jnp.float32(cam.fov), width=W, height=H), qlv,
+            width=W, height=H, cfg=c,
+        )
+        return jnp.sum(img * wimg)
+
+    p0 = jnp.asarray(pts)
+    a0 = jnp.asarray(attrs)
+    cfg8 = cfg._replace(grad_planes=8)
+    gp_k, ga_k = jax.grad(loss, argnums=(0, 1))(p0, a0, cfg)
+    gp_8, ga_8 = jax.grad(loss, argnums=(0, 1))(p0, a0, cfg8)
+
+    # attribute grads: exactly unaffected by the plane cap
+    np.testing.assert_array_equal(np.asarray(ga_8), np.asarray(ga_k))
+
+    # point grads: high directional fidelity, bounded relative L2
+    v8 = np.asarray(gp_8).ravel()
+    vk = np.asarray(gp_k).ravel()
+    cos = float(v8 @ vk / (np.linalg.norm(v8) * np.linalg.norm(vk) + 1e-30))
+    rel = float(np.linalg.norm(v8 - vk) / (np.linalg.norm(vk) + 1e-30))
+    assert cos > 0.995, cos
+    assert rel < 0.1, rel
