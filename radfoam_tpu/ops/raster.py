@@ -64,6 +64,12 @@ class RasterConfig(NamedTuple):
     cam_model: int = AFFINE
     max_pairs: int = 1 << 22  # static (tile, cell) pair capacity
     entry_chunk: int = 16  # cells DMA'd + composited per kernel loop step
+    # sorted-merge width (exact-order mode): 0 = entry_chunk. Setting
+    # entry_chunk=32 with merge_chunk=16 halves the loop-iteration fixed
+    # cost (DMA sync + transpose + chunk precompute run once per 32
+    # entries) while the bitonic network and pending set stay at the
+    # cheap 2x16-row size — two sub-merges per loop step.
+    merge_chunk: int = 0
     alpha_cull: float = 0.0  # drop cells with sigma*2R below this (0 = off)
     # adjacency-table width K of the scene's build_row_table (the padded
     # row width hides it; Mosaic needs 128-aligned rows). Set per scene.
@@ -949,7 +955,8 @@ def _chunk_entries(pre, dir_rows, chunk_t, deg_col, n_in_list, CE,
 
 
 def _sorted_chunk_composite(bst, pre, dir_rows, chunk_t, deg_col,
-                            n_in_list, wt, CE, use_bitonic, degm_c):
+                            n_in_list, wt, CE, use_bitonic, degm_c,
+                            merge_chunk=0):
     """Exact-t_in-order composite of one chunk against the pending set.
 
     Replaces the per-entry reorder buffer (safe-emission k-way merge)
@@ -966,15 +973,39 @@ def _sorted_chunk_composite(bst, pre, dir_rows, chunk_t, deg_col,
     guarantee the reorder buffer gave, at ~vector cost per entry
     instead of ~750 serialized cycles (prof 2026-08-17).
     """
-    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
-    P = dir_rows[0].shape[1]
     tin, od, c_r, c_g, c_b = _chunk_entries(
         pre, dir_rows, chunk_t, deg_col, n_in_list, CE, degm_c,
     )
-    # future entries' t_in >= their key >= this chunk's largest live key
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CE), 1)
+    CM = merge_chunk or CE
+    if CM == CE:
+        return _sorted_merge(
+            bst, tin, od, c_r, c_g, c_b, pre[5], n_in_list, wt, CM,
+            use_bitonic,
+        )
+    # sub-merges: the entry math above ran once for the whole CE-entry
+    # DMA chunk; the pending set + bitonic network stay CM rows wide
+    for s in range(0, CE, CM):
+        bst = _sorted_merge(
+            bst, tin[s : s + CM], od[s : s + CM], c_r[s : s + CM],
+            c_g[s : s + CM], c_b[s : s + CM], pre[5][:, s : s + CM],
+            n_in_list - s, wt, CM, use_bitonic,
+        )
+    return bst
+
+
+def _sorted_merge(bst, tin, od, c_r, c_g, c_b, keys, n_live, wt, CM,
+                  use_bitonic):
+    """One batch sorted-merge of CM new entry rows against the CM-row
+    pending set (see _sorted_chunk_composite)."""
+    (S_t, S_od, S_r, S_g, S_b, T, rgb_r, rgb_g, rgb_b, forced) = bst
+    CE = CM
+    P = tin.shape[1]
+    # future entries' t_in >= their key >= this block's largest live key.
+    # keepdims: the bound stays a (1, 1) vector value — broadcast into the
+    # compare below without a vector->scalar round trip per iteration
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CM), 1)
     k_last = jnp.max(
-        jnp.where(lane < n_in_list, pre[5], -jnp.inf)
+        jnp.where(lane < n_live, keys, -jnp.inf), keepdims=True
     )
 
     t32 = jnp.concatenate([S_t, tin], axis=0)  # (2CE, P)
@@ -1140,13 +1171,6 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
     cam9 = tuple(cam_ref[i] for i in range(3, 12))
     intrin = tuple(cam_ref[i] for i in range(12, 16))
 
-    if has_dirs:
-        dir_rows = _grid_dir_rows(dirs_ref[0], cam9)
-    else:
-        dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
-                                   width=width, height=height, tile=TS)
-    basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
-
     n_chunks = pl.cdiv(length, CE)
 
     def get_dma(slot, c):
@@ -1156,9 +1180,45 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
             sems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    # empty-tile skip: tiles with no binned cells (background outside
+    # every cell AABB) write a transparent output without paying for the
+    # pixel camera, the SH basis, or the drain — on trained scenes a
+    # large fraction of 1080p tiles is empty
+    @pl.when(n_chunks == 0)
     def _():
-        get_dma(0, 0).start()
+        out_ref[0] = jnp.concatenate(
+            [jnp.zeros((3, P), jnp.float32),
+             jnp.zeros((1, P), jnp.float32)], axis=0
+        )
+        aux_ref[0] = jnp.zeros((1, P), jnp.float32)
+
+    @pl.when(n_chunks > 0)
+    def _live_tile():
+        _composite_tile_body(
+            cfg, K, A, width, height, has_dirs, use_bitonic, tx, ty,
+            origin, cam9, intrin, dirs_ref, out_ref, aux_ref, buf,
+            get_dma, start, length, n_chunks,
+        )
+
+
+def _composite_tile_body(cfg, K, A, width, height, has_dirs, use_bitonic,
+                         tx, ty, origin, cam9, intrin, dirs_ref, out_ref,
+                         aux_ref, buf, get_dma, start, length, n_chunks):
+    TS = cfg.tile
+    P = TS * TS
+    CE = cfg.entry_chunk
+    wt = cfg.weight_threshold
+    Wbuf = cfg.reorder_window
+    deg_col = 3 + 3 * K + A + 4  # build_row_table degree column
+
+    if has_dirs:
+        dir_rows = _grid_dir_rows(dirs_ref[0], cam9)
+    else:
+        dir_rows = _pixel_dir_rows(tx, ty, cam9, intrin,
+                                   width=width, height=height, tile=TS)
+    basis = _sh_basis_rows(*dir_rows, cfg.sh_degree)
+
+    get_dma(0, 0).start()
 
     def body(state):
         c = state[0]
@@ -1192,6 +1252,7 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
             bst = _sorted_chunk_composite(
                 bst, pre, dir_rows, chunk_t, deg_col, length - c * CE,
                 wt, CE, use_bitonic, degm_c,
+                merge_chunk=cfg.merge_chunk,
             )
 
         return (c + 1,) + bst
@@ -1203,8 +1264,9 @@ def _composite_kernel(cfg, K, A, width, height, ntx, has_dirs,
     if Wbuf > 0:
         # pending-set init for the sorted merge: free slots (od = 0,
         # dead key) flush through the first merge with zero weight
-        z = jnp.zeros((CE, P), jnp.float32)
-        binit = (jnp.full((CE, P), _DEAD_KEY, jnp.float32), z, z, z, z,
+        CM = cfg.merge_chunk or CE
+        z = jnp.zeros((CM, P), jnp.float32)
+        binit = (jnp.full((CM, P), _DEAD_KEY, jnp.float32), z, z, z, z,
                  jnp.ones((1, P), jnp.float32),
                  jnp.zeros((1, P), jnp.float32),
                  jnp.zeros((1, P), jnp.float32),

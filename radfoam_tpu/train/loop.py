@@ -32,12 +32,13 @@ def pair_capacity(capacity, width, height):
 
     Pairs scale with BOTH the live point count (dense scenes) and the image
     area (sparse scenes: each cell covers many pixels — measured 0.7-1.3
-    pairs/pixel from 32k to 2M points), so the cap floors at 1.5x the pixel
-    count; 8x the point capacity covers the dense regime; 2M pairs bounds
-    the step's dominant buffers inside HBM at the 2M-point worst case.
+    pairs/pixel from 32k to 2M points, but up to 8.5 pairs/point at 131k on
+    800x800), so the cap floors at 1.5x the pixel count and 12x the point
+    capacity; 2M pairs bounds the step's dominant buffers inside HBM at the
+    2M-point worst case.
     """
     return int(
-        min(2 << 20, max(1 << 18, 8 * capacity, (width * height * 3) // 2))
+        min(2 << 20, max(1 << 18, 12 * capacity, (width * height * 3) // 2))
     )
 
 

@@ -356,3 +356,36 @@ def test_tile_list_cap():
         got = cell_p[int(nstarts[t]) : int(nstarts[t]) + int(lens[t])]
         np.testing.assert_array_equal(got, want)
         assert int(lens[t]) == want.size
+
+
+def test_ce32_submerge_matches_ce16():
+    """entry_chunk=32 with merge_chunk=16 (the double-DMA sub-merge
+    production config) renders the same image as the default chunking."""
+    pts, attrs, table, bounds = build_scene(n_points=1200, saturate=True)
+    W = H = 32
+    cam, _ = cam_setup(pts, W, H)
+    base = dict(sh_degree=2, weight_threshold=0.001, tile=16,
+                max_pairs=1 << 16, interpret=True,
+                table_k=int(table.shape[1]))
+    rtable = R.build_row_table(
+        R.pack_raster_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+        ),
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+    )
+    args = (rtable, jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+            jnp.asarray(attrs[:, -1]),
+            jnp.asarray(cam.position), jnp.asarray(cam.forward),
+            jnp.asarray(cam.right), jnp.asarray(cam.up),
+            jnp.float32(cam.fov))
+    img16, _, _ = R.render_frame(
+        *args, width=W, height=H, cfg=R.RasterConfig(**base),
+    )
+    img32, _, forced32 = R.render_frame(
+        *args, width=W, height=H,
+        cfg=R.RasterConfig(**base, entry_chunk=32, merge_chunk=16),
+    )
+    assert float(jnp.sum(forced32)) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(img32), np.asarray(img16), atol=2e-5, rtol=1e-5
+    )

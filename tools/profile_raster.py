@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--stats", action="store_true",
                     help="report processed entries/tile (kernel stats "
                          "mode) instead of forced pops")
+    ap.add_argument("--cm", type=int, default=0,
+                    help="merge_chunk (0 = entry_chunk)")
     args = ap.parse_args()
     W, H = args.width, args.height
 
@@ -80,7 +82,7 @@ def main():
         sh_degree=SH, weight_threshold=0.05, tile=16,
         max_pairs=args.cap, alpha_cull=args.cull, table_k=K,
         entry_chunk=args.ce, reorder_window=args.rw, stats=args.stats,
-        tile_list_cap=args.lcap,
+        tile_list_cap=args.lcap, merge_chunk=args.cm,
     )
     bbmin_d, bbmax_d = jnp.asarray(bb_min), jnp.asarray(bb_max)
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
