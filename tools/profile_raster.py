@@ -62,6 +62,7 @@ def main():
                          "mode) instead of forced pops")
     ap.add_argument("--cm", type=int, default=0,
                     help="merge_chunk (0 = entry_chunk)")
+    ap.add_argument("--tile", type=int, default=16, help="tile edge px")
     args = ap.parse_args()
     W, H = args.width, args.height
 
@@ -79,7 +80,7 @@ def main():
 
     dtype = jnp.dtype(args.dtype)
     cfg = R.RasterConfig(
-        sh_degree=SH, weight_threshold=0.05, tile=16,
+        sh_degree=SH, weight_threshold=0.05, tile=args.tile,
         max_pairs=args.cap, alpha_cull=args.cull, table_k=K,
         entry_chunk=args.ce, reorder_window=args.rw, stats=args.stats,
         tile_list_cap=args.lcap, merge_chunk=args.cm,
