@@ -58,6 +58,7 @@ struct Mesh {
     // [orient_margin, orient_R, face_margin[4], face_R[4]]; margin <= 0
     // means "recompute exactly". See mark_failures.
     std::vector<float> cert;
+    bool certs_valid = false;  // cert margins match the last scan's coords
     std::vector<double> scan_pts;  // coords at the last completed scan
 
     const double *P(int32_t v) const { return &pts[3 * (int64_t)v]; }
@@ -496,8 +497,6 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
     fail.assign(m.tets.size(), 0);
     int64_t n_marked = 0;
     int64_t ntets = (int64_t)m.tets.size();
-    if (m.cert.size() < (size_t)ntets * 10)
-        m.cert.resize((size_t)ntets * 10, 0.0f);
 
     int64_t n = m.n_real;
     bool have_prev = m.scan_pts.size() == m.pts.size();
@@ -507,6 +506,7 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
     // move between scans (triangulation cadence ≤ 100 optimizer steps),
     // and a byte mask for "moved" keeps the hot lookups inside L2
     std::vector<uint8_t> moved(n + 4, 0);
+    int64_t n_moved = 0;
     if (have_prev) {
         for (int64_t i = 0; i < n; ++i) {
             double dx = m.pts[3 * i] - m.scan_pts[3 * i];
@@ -515,10 +515,26 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
             double d2 = dx * dx + dy * dy + dz * dz;
             if (d2 > 0.0) {
                 moved[i] = 1;
+                ++n_moved;
                 delta[i] = std::nextafterf((float)std::sqrt(d2), 1e30f);
             }
         }
     }
+    // The margin cache only pays when motion is SPARSE: under global
+    // optimizer motion (every point moves, the mid-training regime) the
+    // Lipschitz bounds exceed the cached margins at trained cell sizes,
+    // so every decrement attempt fails and the cache costs 40 B/tet of
+    // traffic plus the bound arithmetic on top of the predicates it was
+    // meant to avoid (measured 2.2x on the 14M-tet scan). Unmoved tets
+    // need no certificate at all: an alive tet was part of a mesh that
+    // was globally Delaunay at scan_pts (post-repair invariant), so an
+    // unmoved closed star is still locally Delaunay verbatim.
+    bool sparse = have_prev && n_moved > 0 && n_moved < n / 16;
+    bool use_certs = sparse && m.certs_valid;
+    bool store_certs = sparse;
+    if (store_certs && m.cert.size() < (size_t)ntets * 10)
+        m.cert.resize((size_t)ntets * 10, 0.0f);
+    m.certs_valid = store_certs;
 
     auto row_R3 = [&](const Tet &t) {
         const double *d = m.P(t.v[3]);
@@ -541,14 +557,50 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
     };
 
     for (int64_t t = 0; t < ntets; ++t) {
+        // The scan is latency-bound: ~14 dependent random loads per tet
+        // (4 vertex rows, up to 4 neighbor tets, their apex rows) mostly
+        // missing L2. Two-level software prefetch overlaps them — far
+        // ahead for the first-level targets (vertices + neighbor tets),
+        // nearer for the apex coords that need the neighbor struct
+        // resident first.
+        const int64_t PF1 = 16, PF2 = 6;
+        if (t + PF1 < ntets) {
+            const Tet &ft = m.tets[t + PF1];
+            if (ft.alive) {
+                if (use_certs)
+                    __builtin_prefetch(&m.cert[(size_t)(t + PF1) * 10]);
+                for (int i = 0; i < 4; ++i) {
+                    __builtin_prefetch(m.P(ft.v[i]));
+                    if (ft.n[i] >= (int32_t)(t + PF1))
+                        __builtin_prefetch(&m.tets[ft.n[i]]);
+                }
+            }
+        }
+        if (t + PF2 < ntets) {
+            const Tet &ft = m.tets[t + PF2];
+            if (ft.alive) {
+                for (int i = 0; i < 4; ++i) {
+                    int32_t nb = ft.n[i];
+                    if (nb < (int32_t)(t + PF2)) continue;
+                    const Tet &other = m.tets[nb];
+                    for (int j = 0; j < 4; ++j)
+                        if (other.n[j] == (int32_t)(t + PF2)) {
+                            __builtin_prefetch(m.P(other.v[j]));
+                            break;
+                        }
+                }
+            }
+        }
         const Tet &tet = m.tets[t];
         if (!tet.alive) continue;
-        float *ct = &m.cert[(size_t)t * 10];
-        // steady-state fast path: nothing in this tet's closed star
-        // moved and every cached margin is strictly positive -> the
-        // certificate holds verbatim, no bound arithmetic needed
-        if (have_prev && !moved[tet.v[0]] && !moved[tet.v[1]] &&
-            !moved[tet.v[2]] && !moved[tet.v[3]] && ct[0] > 0.0f) {
+        bool verts_unmoved = have_prev && !moved[tet.v[0]] &&
+                             !moved[tet.v[1]] && !moved[tet.v[2]] &&
+                             !moved[tet.v[3]];
+        // steady-state fast path (cert-free, exact): nothing in this
+        // tet's closed star moved since scan_pts, at which coords the
+        // whole mesh was Delaunay -> orientation and every face
+        // condition hold verbatim
+        if (verts_unmoved) {
             bool all_ok = true;
             for (int i = 0; i < 4 && all_ok; ++i) {
                 int32_t nb = tet.n[i];
@@ -557,19 +609,23 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
                 const Tet &other = m.tets[nb];
                 for (int j = 0; j < 4; ++j)
                     if (other.n[j] == (int32_t)t) { apex = other.v[j]; break; }
-                if (apex == kNone || moved[apex] || ct[2 + i] <= 0.0f)
-                    all_ok = false;
+                if (apex == kNone || moved[apex]) all_ok = false;
             }
             if (all_ok) continue;
         }
+        float *ct = (use_certs || store_certs)
+                        ? &m.cert[(size_t)t * 10]
+                        : nullptr;
         double d4 = have_prev
             ? std::max(std::max(delta[tet.v[0]], delta[tet.v[1]]),
                        std::max(delta[tet.v[2]], delta[tet.v[3]]))
             : 1e300;
 
-        // orientation
-        bool ok_cached = false;
-        if (have_prev && ct[0] > 0.0f) {
+        // orientation: an unmoved tet is positively oriented by the
+        // post-repair invariant even when a moved apex forces the face
+        // checks below
+        bool ok_cached = verts_unmoved;
+        if (!ok_cached && use_certs && ct[0] > 0.0f) {
             double Rp = (double)ct[1] + 2.0 * d4;
             if (d4 <= 0.05 * Rp) {
                 double bound = 64.0 * Rp * Rp * d4;
@@ -585,15 +641,17 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
             double mg = 0.0;
             int sg = orient3d_sign_margin(m.P(tet.v[0]), m.P(tet.v[1]),
                                           m.P(tet.v[2]), m.P(tet.v[3]),
-                                          &mg);
+                                          store_certs ? &mg : nullptr);
             if (sg <= 0) {
-                ct[0] = 0.0f;
+                if (ct) ct[0] = 0.0f;
                 if (!fail[t]) { fail[t] = 1; ++n_marked; }
                 continue;
             }
-            ct[0] = std::nextafterf((float)mg, -1e30f);
-            if (ct[0] < 0.0f) ct[0] = 0.0f;
-            ct[1] = std::nextafterf((float)row_R3(tet), 1e30f);
+            if (store_certs) {
+                ct[0] = std::nextafterf((float)mg, -1e30f);
+                if (ct[0] < 0.0f) ct[0] = 0.0f;
+                ct[1] = std::nextafterf((float)row_R3(tet), 1e30f);
+            }
         }
 
         for (int i = 0; i < 4; ++i) {
@@ -608,10 +666,13 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
                 if (!fail[nb]) { fail[nb] = 1; ++n_marked; }
                 continue;
             }
+            // unchanged face: both tets' closed-star subsets involved in
+            // this condition are at their scan_pts coords
+            if (verts_unmoved && !moved[apex]) continue;
             double d5 = have_prev ? std::max(d4, (double)delta[apex])
                                   : 1e300;
             bool face_ok = false;
-            if (have_prev && ct[2 + i] > 0.0f) {
+            if (use_certs && ct[2 + i] > 0.0f) {
                 double Rp = (double)ct[6 + i] + 2.0 * d5;
                 if (d5 <= 0.05 * Rp) {
                     double bound = 512.0 * Rp * Rp * Rp * Rp * d5;
@@ -627,12 +688,12 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
                 double mg = 0.0;
                 int sg = insphere_sign_margin(
                     m.P(tet.v[0]), m.P(tet.v[1]), m.P(tet.v[2]),
-                    m.P(tet.v[3]), m.P(apex), &mg);
+                    m.P(tet.v[3]), m.P(apex), store_certs ? &mg : nullptr);
                 if (sg >= 0) {
-                    ct[2 + i] = 0.0f;
+                    if (ct) ct[2 + i] = 0.0f;
                     if (!fail[t]) { fail[t] = 1; ++n_marked; }
                     if (!fail[nb]) { fail[nb] = 1; ++n_marked; }
-                } else {
+                } else if (store_certs) {
                     ct[2 + i] = std::nextafterf((float)mg, -1e30f);
                     if (ct[2 + i] < 0.0f) ct[2 + i] = 0.0f;
                     ct[6 + i] = std::nextafterf(

@@ -919,22 +919,58 @@ def _chunk_entries(pre, dir_rows, chunk_t, deg_col, n_in_list, CE,
     """All CE entries' (t_in, od, colors) as (CE, P) blocks; padding
     entries past ``n_in_list`` get t_in = +inf, od = 0.
 
-    The plane-block skip gates on the CHUNK-max degree: per-entry gating
-    (CE x K/8 lax.conds per chunk) measured SLOWER than the plane math
-    it saves — each cond is a scalar branch that stalls the vector
-    pipeline (kernel_floor 2026-08-17: ~7 us/chunk with per-entry conds
-    vs ~2.5 us of plane+composite work).
+    Loop order is plane-block OUTER, entry INNER: one lax.cond gates each
+    8-plane block for the whole chunk (K/8 - 1 conds per chunk), with the
+    (CE, P) running interval bounds as the carry. The two prior shapes
+    both measured slower: per-entry per-block conds (CE x K/8 = 144 scalar
+    branches per chunk at K=72, each stalling the vector pipeline) and
+    ungated full-K math (the padding-plane math it skips is the dominant
+    vector cost at K >> mean degree). The plane-block skip stays gated on
+    the CHUNK-max degree — exact, because blocks past the max degree hold
+    only padding planes (v = 0), which join neither the entry nor the
+    exit set.
     """
-    od_l, tin_l = [], []
-    for e in range(CE):
-        t_out, t_in = _entry_interval_inf(pre, e, dir_rows, degm_c)
-        seg = jnp.where(
-            jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+    vx, vy, vz, num, sig, _key, _rgb = pre
+    dirx, diry, dirz = dir_rows
+    K = vx.shape[0]
+    P = dirx.shape[1]
+    KB = 8
+
+    def block(kb, t_out, t_in):
+        to_l, ti_l = [], []
+        for e in range(CE):
+            den = (
+                vx[kb : kb + KB, e : e + 1] * dirx
+                + vy[kb : kb + KB, e : e + 1] * diry
+                + vz[kb : kb + KB, e : e + 1] * dirz
+            )  # (KB, P)
+            t = num[kb : kb + KB, e : e + 1] / den
+            to_l.append(jnp.min(
+                jnp.where(den > 0.0, t, jnp.inf), axis=0, keepdims=True
+            ))
+            ti_l.append(jnp.max(
+                jnp.where(den < 0.0, t, 0.0), axis=0, keepdims=True
+            ))
+        t_out = jnp.minimum(t_out, jnp.concatenate(to_l, axis=0))
+        t_in = jnp.maximum(t_in, jnp.concatenate(ti_l, axis=0))
+        return t_out, t_in
+
+    t_out = jnp.full((CE, P), jnp.inf, jnp.float32)
+    t_in = jnp.zeros((CE, P), jnp.float32)
+    t_out, t_in = block(0, t_out, t_in)  # degree >= 4: always live
+    for kb in range(KB, K, KB):
+        t_out, t_in = jax.lax.cond(
+            kb < degm_c,
+            lambda to, ti, kb=kb: block(kb, to, ti),
+            lambda to, ti: (to, ti),
+            t_out, t_in,
         )
-        od_l.append(pre[4][0:1, e : e + 1] * seg)  # sig_e * seg
-        tin_l.append(t_in)
-    od = jnp.concatenate(od_l, axis=0)  # (CE, P)
-    tin = jnp.concatenate(tin_l, axis=0)
+
+    seg = jnp.where(
+        jnp.isfinite(t_out), jnp.maximum(t_out - t_in, 0.0), 0.0
+    )
+    od = _mxu_transpose(pre[4]) * seg  # (CE, 1) sigma * (CE, P) seg
+    tin = t_in
     e_idx = jax.lax.broadcasted_iota(jnp.int32, (CE, 1), 0)
     live = e_idx < n_in_list
     od = jnp.where(live, od, 0.0)
