@@ -259,8 +259,13 @@ struct Inserter {
     }
 };
 
-// build the mesh: points (n x 3 double), already spatially sorted
-static int build(Mesh &m, const double *points, int64_t n) {
+// build the mesh: points (n x 3 double), already spatially sorted.
+// ins_scratch (optional, must be bound to m) reuses an Inserter's hash
+// buckets/vectors across builds — the repair path constructs tens of
+// thousands of small local DTs per call and the per-build allocations
+// were a measurable share of its wall time.
+static int build(Mesh &m, const double *points, int64_t n,
+                 Inserter *ins_scratch = nullptr) {
     if (n < 4) return TOO_FEW;
     m.pts.resize(3 * (n + 4));
     m.n_real = n;
@@ -297,6 +302,10 @@ static int build(Mesh &m, const double *points, int64_t n) {
 
     m.tets.clear();
     m.free_list.clear();
+    // stale incremental-scan state from a previous mesh: drop it rather
+    // than let alloc_tet keep a dead 10-float row per tet in sync
+    m.cert.clear();
+    m.certs_valid = false;
     Tet root;
     root.v[0] = s0;
     root.v[1] = s1;
@@ -308,7 +317,8 @@ static int build(Mesh &m, const double *points, int64_t n) {
     root.n[0] = root.n[1] = root.n[2] = root.n[3] = kNone;
     m.tets.push_back(root);
 
-    Inserter ins(m);
+    Inserter local_ins(m);
+    Inserter &ins = ins_scratch ? *ins_scratch : local_ins;
     int32_t hint = 0;
     for (int64_t i = 0; i < n; ++i) {
         int32_t r = ins.insert((int32_t)i, hint);
@@ -713,16 +723,43 @@ struct RepairResult {
     int64_t n_local;  // local DT vertex count (diagnostics)
 };
 
+// hole-boundary face record: carved-side faces whose neighbor is kept
+struct BFace {
+    int32_t kept, kept_slot, apex;
+    int32_t consumed;
+};
+// local face map entry: global face key -> up to two (local tet, slot)
+struct FaceSlots {
+    int32_t t0 = kNone, s0 = -1, t1 = kNone, s1 = -1;
+};
+
+// per-call scratch for try_repair: one training-scale repair runs tens
+// of thousands of small component repairs, and a fresh Mesh + Inserter +
+// two hash maps + five vectors per component was ~half the repair wall
+// (the local DTs themselves are ~15 inserts each). Containers are
+// clear()ed per component so their buckets/capacity persist.
+struct RepairScratch {
+    Mesh lm;
+    Inserter ins{lm};
+    std::vector<double> coords;
+    std::unordered_map<FaceKey, BFace, FaceKeyHash> bmap;
+    std::unordered_map<FaceKey, FaceSlots, FaceKeyHash> lfaces;
+    std::vector<int8_t> in_fill;
+    std::vector<int32_t> fill, stack, l2g, W;
+};
+
 static RepairResult repair_attempt(Mesh &m,
                                    const std::vector<int32_t> &carve,
                                    const std::vector<uint8_t> &in_carve,
-                                   std::vector<int32_t> *w_out) {
+                                   std::vector<int32_t> *w_out,
+                                   RepairScratch &S) {
     RepairResult rr{OK, false, (int64_t)carve.size(), 0};
 
     // vertex set W of the carved region (global ids; supers included).
     // dedup via sort — an O(n_real) seen-array here cost more than the
     // whole local DT when thousands of small components repair per call
-    std::vector<int32_t> W;
+    std::vector<int32_t> &W = S.W;
+    W.clear();
     W.reserve(carve.size() * 4);
     for (int32_t tid : carve)
         for (int i = 0; i < 4; ++i) W.push_back(m.tets[tid].v[i]);
@@ -734,11 +771,8 @@ static RepairResult repair_attempt(Mesh &m,
     if (w_out) *w_out = W;
 
     // hole boundary: carved-side faces whose neighbor is kept (or kNone)
-    struct BFace {
-        int32_t kept, kept_slot, apex;
-        int32_t consumed;
-    };
-    std::unordered_map<FaceKey, BFace, FaceKeyHash> bmap;
+    auto &bmap = S.bmap;
+    bmap.clear();
     bmap.reserve(carve.size() * 2);
     for (int32_t tid : carve) {
         const Tet &t = m.tets[tid];
@@ -758,13 +792,14 @@ static RepairResult repair_attempt(Mesh &m,
     }
 
     // local Delaunay triangulation of W (exact same double coords)
-    Mesh lm;
+    Mesh &lm = S.lm;
     {
-        std::vector<double> coords(3 * W.size());
+        auto &coords = S.coords;
+        coords.resize(3 * W.size());
         for (size_t i = 0; i < W.size(); ++i)
             for (int d = 0; d < 3; ++d) coords[3 * i + d] = m.P(W[i])[d];
         if ((int64_t)W.size() < 4 ||
-            build(lm, coords.data(), (int64_t)W.size()) != OK) {
+            build(lm, coords.data(), (int64_t)W.size(), &S.ins) != OK) {
             rr.status = DEGENERATE;
             return rr;
         }
@@ -772,10 +807,8 @@ static RepairResult repair_attempt(Mesh &m,
     int64_t nW = (int64_t)W.size();
 
     // local face map: global face key -> up to two (local tet, slot)
-    struct FaceSlots {
-        int32_t t0 = kNone, s0 = -1, t1 = kNone, s1 = -1;
-    };
-    std::unordered_map<FaceKey, FaceSlots, FaceKeyHash> lfaces;
+    auto &lfaces = S.lfaces;
+    lfaces.clear();
     lfaces.reserve(lm.tets.size() * 2);
     for (int64_t lt = 0; lt < (int64_t)lm.tets.size(); ++lt) {
         const Tet &t = lm.tets[lt];
@@ -793,8 +826,12 @@ static RepairResult repair_attempt(Mesh &m,
 
     // flood the fill region from every boundary face, staying on the
     // carved-apex side and never crossing the local hull
-    std::vector<int8_t> in_fill(lm.tets.size(), 0);
-    std::vector<int32_t> fill, stack;
+    auto &in_fill = S.in_fill;
+    in_fill.assign(lm.tets.size(), 0);
+    auto &fill = S.fill;
+    auto &stack = S.stack;
+    fill.clear();
+    stack.clear();
     auto local_has_super = [&](int32_t lt) {
         const Tet &t = lm.tets[lt];
         return t.v[0] >= nW || t.v[1] >= nW || t.v[2] >= nW || t.v[3] >= nW;
@@ -920,7 +957,8 @@ static RepairResult repair_attempt(Mesh &m,
         m.tets[tid].alive = 0;
         m.free_list.push_back(tid);
     }
-    std::vector<int32_t> l2g(lm.tets.size(), kNone);
+    auto &l2g = S.l2g;
+    l2g.assign(lm.tets.size(), kNone);
     for (int32_t lt : fill) l2g[lt] = m.alloc_tet();
     for (int32_t lt : fill) {
         const Tet &src = lm.tets[lt];
@@ -1071,6 +1109,7 @@ static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
     int64_t n_local = 0;
     std::vector<uint8_t> in_carve(ntets, 0);
     std::vector<int32_t> W;
+    RepairScratch scratch;
     for (int32_t cid = 0; cid < (int32_t)comps.size(); ++cid) {
         std::vector<int32_t> &carve = comps[cid];
         if (carve.empty()) continue;
@@ -1087,7 +1126,7 @@ static RepairResult try_repair(Mesh &m, std::vector<int32_t> *w_out) {
                                }),
                 carve.end());
             for (int32_t t : carve) in_carve[t] = 1;
-            rr = repair_attempt(m, carve, in_carve, &W);
+            rr = repair_attempt(m, carve, in_carve, &W, scratch);
             for (int32_t t : carve) in_carve[t] = 0;
             if (rr.status == OK || rr.status == DEGENERATE) break;
             if (W.empty()) break;

@@ -65,13 +65,19 @@ def main():
         ("rw0_lcap192", dict(reorder_window=0, tile_list_cap=192)),
         ("rw0_lcap256", dict(reorder_window=0, tile_list_cap=256)),
         ("rw8_lcap256", dict(reorder_window=8, tile_list_cap=256)),
+        ("t32_rw0_lcap384",
+         dict(reorder_window=0, tile_list_cap=384, tile=32,
+              max_pairs=1500000)),
+        ("t32_rw8_lcap384",
+         dict(reorder_window=8, tile_list_cap=384, tile=32,
+              max_pairs=1500000)),
     ]
     base_img = None
     for name, kw in variants:
+        kw = {"tile": 16, "max_pairs": 1 << 22, **kw}
         cfg = R.RasterConfig(
-            sh_degree=SH, weight_threshold=0.05, tile=16,
-            max_pairs=1 << 22, alpha_cull=1e-3, table_k=K,
-            entry_chunk=16, **kw,
+            sh_degree=SH, weight_threshold=0.05,
+            alpha_cull=1e-3, table_k=K, entry_chunk=16, **kw,
         )
         img, n_pairs, _ = R.render_frame_staged(
             rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
