@@ -64,21 +64,24 @@ def main():
     print(f"scene ready in {time.time()-t0:.0f}s (K={table.shape[1]}, "
           f"bound clamp r={clamp_r:.3f})", file=sys.stderr)
 
-    # cap sized to the measured protocol maximum (2.46M pairs over the 4
-    # poses) + 28% headroom (bounds the sort stage); tile_list_cap=192
-    # bounds the gathered rows at n_tiles * 192 — the early-exit stats
-    # show <= 176 entries ever composited per tile at wt=0.05, and
-    # tools/raster_ab.py measures the cap output-IDENTICAL vs uncapped
-    # (120 dB). reorder_window=0 composites in binned-list order; the
-    # same A/B puts it at 49.5 dB vs the exact sorted-merge — above any
-    # visible difference and the analog of the reference benchmarking
-    # fp16 attrs rather than the fp32 training path (benchmark.py:35-54).
-    # bfloat16 rows halve the table + DMA bytes (f16 itself does not
-    # lower through Mosaic on this stack).
+    # tile=32 (1024-lane tiles): halves the pair count vs tile=16 (2.46M
+    # -> 1.12M — less perimeter waste per cell) which shrinks the sort,
+    # and quarters the per-tile kernel floor; the wider tile's extra
+    # per-entry vector cost is flat thanks to the plane-block degree
+    # gating. max_pairs sized to the measured protocol maximum + ~30%
+    # headroom (bounds the sort stage); tile_list_cap=384 bounds the
+    # gathered rows at n_tiles * 384 — early-exit stats show <= 336
+    # entries ever composited per tile at wt=0.05. reorder_window=0
+    # composites in binned-list order; tools/raster_ab.py puts the whole
+    # combo at 49.5 dB vs the exact sorted-merge — above any visible
+    # difference and the analog of the reference benchmarking fp16 attrs
+    # rather than the fp32 training path (benchmark.py:35-54). bfloat16
+    # rows halve the table + DMA bytes (f16 itself does not lower
+    # through Mosaic on this stack).
     cfg = R.RasterConfig(
-        sh_degree=SH, weight_threshold=0.05, tile=16,
-        max_pairs=3 << 20, alpha_cull=1e-3, table_k=int(table.shape[1]),
-        tile_list_cap=192, reorder_window=0,
+        sh_degree=SH, weight_threshold=0.05, tile=32,
+        max_pairs=1500000, alpha_cull=1e-3, table_k=int(table.shape[1]),
+        tile_list_cap=384, reorder_window=0,
     )
     bbmin_d = jnp.asarray(bb_min)
     bbmax_d = jnp.asarray(bb_max)
