@@ -626,10 +626,14 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
         float *ct = (use_certs || store_certs)
                         ? &m.cert[(size_t)t * 10]
                         : nullptr;
-        double d4 = have_prev
-            ? std::max(std::max(delta[tet.v[0]], delta[tet.v[1]]),
-                       std::max(delta[tet.v[2]], delta[tet.v[3]]))
-            : 1e300;
+        // d4/d5 feed only the certificate bound checks; under global
+        // motion (use_certs false) the 4-5 random delta[] loads per tet
+        // were pure overhead (measured: warm global-motion scans SLOWER
+        // than cold ones)
+        double d4 = 1e300;
+        if (use_certs)
+            d4 = std::max(std::max(delta[tet.v[0]], delta[tet.v[1]]),
+                          std::max(delta[tet.v[2]], delta[tet.v[3]]));
 
         // orientation: an unmoved tet is positively oriented by the
         // post-repair invariant even when a moved apex forces the face
@@ -679,10 +683,9 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
             // unchanged face: both tets' closed-star subsets involved in
             // this condition are at their scan_pts coords
             if (verts_unmoved && !moved[apex]) continue;
-            double d5 = have_prev ? std::max(d4, (double)delta[apex])
-                                  : 1e300;
             bool face_ok = false;
             if (use_certs && ct[2 + i] > 0.0f) {
+                double d5 = std::max(d4, (double)delta[apex]);
                 double Rp = (double)ct[6 + i] + 2.0 * d5;
                 if (d5 <= 0.05 * Rp) {
                     double bound = 512.0 * Rp * Rp * Rp * Rp * d5;
