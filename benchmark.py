@@ -84,14 +84,22 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
 
         bb_min, bb_max, _ = clamp_bounds(pts_np, bb_min, bb_max)
 
-        cap = int(min(1 << 22, max(1 << 16, 64 * pts_np.shape[0])))
+        # tuned inference config (tools/raster_ab.py, DEVNOTES round 4):
+        # 32px tiles halve the pair count and quarter the per-tile kernel
+        # floor; list-order compositing (reorder_window=0) and the 384-
+        # entry tile cap are 49.5 dB vs the exact sorted-merge render —
+        # the fp16-attrs-analog inference tradeoff (reference
+        # benchmark.py:35-54). bf16 rows halve table + DMA bytes.
+        cap = int(min(1 << 21, max(1 << 16, 4 * pts_np.shape[0])))
         rcfg = R.RasterConfig(
             sh_degree=model.sh_degree, weight_threshold=0.05,
             alpha_cull=1e-3, max_pairs=cap, table_k=int(table.shape[1]),
+            tile=32, tile_list_cap=384, reorder_window=0,
         )
         rtable = jax.jit(
             lambda p, a, t, b0, b1: R.build_scene_table(
                 p, a, t, b0, b1, sh_degree=model.sh_degree,
+                dtype=jnp.bfloat16,
             )
         )(
             jnp.asarray(pts_np), jnp.asarray(attrs_np), jnp.asarray(table),

@@ -1582,13 +1582,26 @@ def relayout_pairs(cell_s, starts, *, width, height, cfg):
     lens_src = starts[1:] - starts[:-1]  # (T,) spacing in the sorted stream
     if cfg.tile_list_cap > 0:
         # keep each tile's nearest `cap` cells (depth-sorted prefix) —
-        # the padded buffer then has a scene-independent static bound
+        # the padded buffer then has a scene-independent static bound AND
+        # a uniform stride: tile t owns [t*cap_pad, (t+1)*cap_pad). That
+        # kills the Mp-length prefix scans the ragged layout needs below
+        # (two log-pass cumsums ~ 25-30 ms at 1080p — more than the row
+        # gather they fed).
         cap_pad = -(-cfg.tile_list_cap // CE) * CE
         lens = jnp.minimum(lens_src, cfg.tile_list_cap)
         Mp = n_tiles * cap_pad
-    else:
-        lens = lens_src
-        Mp = cfg.max_pairs + CE * n_tiles  # static worst-case capacity
+        j = jnp.arange(Mp, dtype=jnp.int32)
+        t_of_j = j // cap_pad
+        slot = j - t_of_j * cap_pad
+        valid = slot < jnp.take(lens, t_of_j)
+        src = jnp.minimum(jnp.take(starts[:-1], t_of_j) + slot, M - 1)
+        cell_p = jnp.where(valid, jnp.take(cell_s, src), 0)
+        nstarts = (
+            jnp.arange(n_tiles + 1, dtype=jnp.int32) * cap_pad
+        )
+        return cell_p, nstarts, lens
+    lens = lens_src
+    Mp = cfg.max_pairs + CE * n_tiles  # static worst-case capacity
     plens = -(-lens // CE) * CE
     nstarts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(plens).astype(jnp.int32)]
