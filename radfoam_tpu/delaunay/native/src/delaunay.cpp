@@ -540,10 +540,20 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
     // was globally Delaunay at scan_pts (post-repair invariant), so an
     // unmoved closed star is still locally Delaunay verbatim.
     bool sparse = have_prev && n_moved > 0 && n_moved < n / 16;
-    bool use_certs = sparse && m.certs_valid;
+    bool certs_were_valid = m.certs_valid;
+    bool use_certs = sparse && certs_were_valid;
     bool store_certs = sparse;
-    if (store_certs && m.cert.size() < (size_t)ntets * 10)
+    if (store_certs && !certs_were_valid) {
+        // Re-entering the sparse regime after >=1 non-sparse scan: any
+        // cached margin may have been computed at coords from BEFORE the
+        // uncertified period (rows skipped by the verts_unmoved fast path
+        // are not refreshed), so zero the WHOLE cache — margin <= 0 reads
+        // as "recompute exactly". A resize() here would silently trust
+        // stale margins and could certify a non-Delaunay tet.
+        m.cert.assign((size_t)ntets * 10, 0.0f);
+    } else if (store_certs && m.cert.size() < (size_t)ntets * 10) {
         m.cert.resize((size_t)ntets * 10, 0.0f);
+    }
     m.certs_valid = store_certs;
 
     auto row_R3 = [&](const Tet &t) {

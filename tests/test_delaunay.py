@@ -253,3 +253,59 @@ def test_incremental_repair_margin_cache_stress():
         np.testing.assert_array_equal(tri.point_adjacency(), adj)
         np.testing.assert_array_equal(tri.point_adjacency_offsets(), off)
         pts = moved
+
+
+def test_incremental_repair_sparse_regime_reentry():
+    """Regime transition stress (ADVICE r4 high): sparse motion (margin
+    certs stored) -> NON-sparse motion (certs invalidated, most points move
+    with no cert maintenance) -> sparse motion again. On re-entry the whole
+    margin cache must be rebuilt from scratch; trusting resize()d stale rows
+    could falsely certify non-Delaunay tets. Every update must stay exactly
+    equal to a fresh rebuild."""
+    from radfoam_tpu.delaunay import Triangulation
+    from radfoam_tpu.delaunay.native import load_native_backend
+
+    backend = load_native_backend()
+    if backend is None:
+        pytest.skip("native backend unavailable")
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    tri = Triangulation(pts, backend=backend)
+    pts = pts[tri.permutation()].copy()
+
+    def verify(moved):
+        tri.rebuild(moved, incremental=True)
+        fresh = load_native_backend()
+        _, adj, off = fresh.triangulate_with_adjacency(moved)
+        np.testing.assert_array_equal(tri.point_adjacency(), adj)
+        np.testing.assert_array_equal(tri.point_adjacency_offsets(), off)
+
+    # phase 1: two sparse updates (move < n/16 points) -> certs stored
+    for seed in (1, 2):
+        r = np.random.default_rng(seed)
+        moved = pts.copy()
+        idx = r.choice(n, size=n // 32, replace=False)
+        moved[idx] += r.standard_normal((idx.size, 3)).astype(np.float32) * 1e-4
+        verify(moved)
+        pts = moved
+    # phase 2: non-sparse update (ALL points move) -> certs invalidated,
+    # and a second one so surviving tets' cached rows go doubly stale
+    for seed in (3, 4):
+        r = np.random.default_rng(seed)
+        moved = (
+            pts + r.standard_normal(pts.shape).astype(np.float32) * 2e-4
+        ).astype(np.float32)
+        verify(moved)
+        pts = moved
+    # phase 3: re-enter the sparse regime; stale-cache rows must NOT be
+    # trusted (fix: cache zeroed on re-entry). Run two sparse updates so
+    # the second actually USES certs stored by the first.
+    for seed in (5, 6):
+        r = np.random.default_rng(seed)
+        moved = pts.copy()
+        idx = r.choice(n, size=n // 32, replace=False)
+        moved[idx] += r.standard_normal((idx.size, 3)).astype(np.float32) * 1e-4
+        verify(moved)
+        pts = moved
