@@ -90,7 +90,13 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
         # entry tile cap are 49.5 dB vs the exact sorted-merge render —
         # the fp16-attrs-analog inference tradeoff (reference
         # benchmark.py:35-54). bf16 rows halve table + DMA bytes.
-        cap = int(min(1 << 21, max(1 << 16, 4 * pts_np.shape[0])))
+        # pair capacity sized like the training engine: scales with BOTH
+        # point count and image area (measured up to 8.5 pairs/point at
+        # 131k on 800x800 — a point-count-only cap truncates mid-size
+        # scenes silently); overflow is checked on EVERY pose below.
+        from radfoam_tpu.train.loop import pair_capacity
+
+        cap = pair_capacity(pts_np.shape[0], width, height)
         rcfg = R.RasterConfig(
             sh_degree=model.sh_degree, weight_threshold=0.05,
             alpha_cull=1e-3, max_pairs=cap, table_k=int(table.shape[1]),
@@ -120,12 +126,15 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
             for c in cams
         ]
 
-        img, n_pairs, _ = raster_fn(*frames[0])
-        jax.block_until_ready(img)
-        if int(n_pairs) > rcfg.max_pairs:
-            print(f"warning: pair overflow ({int(n_pairs)} > "
-                  f"{rcfg.max_pairs}); image is incomplete — rerun with a "
-                  "larger cap")
+        # overflow is pose-dependent (each pose bins a different frustum):
+        # check every pose once up front, not just frames[0]
+        for fi, fr in enumerate(frames):
+            img, n_pairs, _ = raster_fn(*fr)
+            jax.block_until_ready(img)
+            if int(n_pairs) > rcfg.max_pairs:
+                print(f"warning: pair overflow on pose {fi} "
+                      f"({int(n_pairs)} > {rcfg.max_pairs}); image is "
+                      "incomplete — rerun with a larger cap")
         render = lambda i: raster_fn(*frames[i])[0]
     else:
         cfg = TraceConfig(

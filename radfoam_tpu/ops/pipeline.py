@@ -138,6 +138,11 @@ class Pipeline:
         unless ``ray_error`` is given (the ErrorBox side channel,
         render.py:4-8).
         """
+        if depth_quantiles is not None and depth_indices is None:
+            raise ValueError(
+                "depth_indices is required when depth_quantiles is given "
+                "(pass the per-quantile cell indices from trace_forward)"
+            )
         rays = jnp.asarray(rays)
         shape = rays.shape[:-1]
         rays_flat = rays.reshape(-1, 6)

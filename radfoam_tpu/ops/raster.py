@@ -1360,6 +1360,17 @@ def composite_pallas(rows, starts, lens, cam, *, width, height, cfg, K, A,
     n_tiles = ntx * nty
     P = TS * TS
     Wrow = rows.shape[1]
+    if cfg.merge_chunk and (
+        cfg.merge_chunk > cfg.entry_chunk
+        or cfg.entry_chunk % cfg.merge_chunk
+    ):
+        # a non-divisor slices a short final sub-merge block and fails
+        # with an opaque shape error inside the bitonic network at trace
+        # time — reject it here with a readable message instead
+        raise ValueError(
+            f"merge_chunk ({cfg.merge_chunk}) must divide entry_chunk "
+            f"({cfg.entry_chunk})"
+        )
 
     has_dirs = dir_grid is not None
     interpret = cfg.interpret or jax.default_backend() == "cpu"

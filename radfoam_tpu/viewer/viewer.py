@@ -281,7 +281,12 @@ def serve_viewer(viewer: Viewer, port=None):
     from urllib.parse import urlparse, parse_qs
 
     port = port or viewer.options.port
-    frame_cache = {"png": None, "t": 0.0, "lock": threading.Lock()}
+    frame_cache = {
+        "png": None, "t": 0.0, "lock": threading.Lock(),
+        # held across render+encode+store so concurrent /frame.png misses
+        # don't all render the same frame redundantly
+        "render_lock": threading.Lock(),
+    }
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -300,25 +305,35 @@ def serve_viewer(viewer: Viewer, port=None):
                 # framerate cap while training (reference viewer.cpp:967-981):
                 # requests arriving faster than max_framerate are served the
                 # cached frame so render work never exceeds the cap.
-                now = time.monotonic()
                 min_dt = 1.0 / max(viewer.options.max_framerate, 1e-3)
-                with frame_cache["lock"]:
-                    png = frame_cache["png"]
-                    stale = now - frame_cache["t"] >= min_dt
-                if stale or png is None:
-                    img = viewer.render_frame()
-                    if img is None:
-                        self.send_response(503)
-                        self.end_headers()
-                        return
-                    from PIL import Image
 
-                    buf = io.BytesIO()
-                    Image.fromarray(img).save(buf, format="PNG")
-                    png = buf.getvalue()
+                def cached():
+                    now = time.monotonic()
                     with frame_cache["lock"]:
-                        frame_cache["png"] = png
-                        frame_cache["t"] = now
+                        png = frame_cache["png"]
+                        fresh = now - frame_cache["t"] < min_dt
+                    return png if (png is not None and fresh) else None
+
+                png = cached()
+                if png is None:
+                    with frame_cache["render_lock"]:
+                        # another request may have rendered while we
+                        # waited on the render lock — re-check first
+                        png = cached()
+                        if png is None:
+                            img = viewer.render_frame()
+                            if img is None:
+                                self.send_response(503)
+                                self.end_headers()
+                                return
+                            from PIL import Image
+
+                            buf = io.BytesIO()
+                            Image.fromarray(img).save(buf, format="PNG")
+                            png = buf.getvalue()
+                            with frame_cache["lock"]:
+                                frame_cache["png"] = png
+                                frame_cache["t"] = time.monotonic()
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.end_headers()
@@ -395,6 +410,10 @@ def serve_viewer(viewer: Viewer, port=None):
                         yaw=-0.005 * float(q.get("dx", [0])[0]),
                         pitch=-0.005 * float(q.get("dy", [0])[0]),
                     )
+                # any viewer-option / camera change must show on the next
+                # /frame.png instead of serving the stale cached frame
+                with frame_cache["lock"]:
+                    frame_cache["t"] = 0.0
                 self.send_response(200)
                 self.end_headers()
             else:
