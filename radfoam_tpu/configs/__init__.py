@@ -79,6 +79,12 @@ class PipelineParams(ParamGroup):
         # per pair (0 = exact, S=K). A/B numbers: tools/grad_planes_ab.py,
         # results in DEVNOTES "grad_planes A/B"
         ("grad_planes", 8),
+        # raster engine: crops from this many different cameras per step
+        # (losses averaged) — the raster analog of the reference's
+        # mixed-image 1M-ray batches (reference train.py:60-62). 1 = one
+        # full camera per step, which measured 1.47 dB below the walk
+        # engine's mixed batches (DEVNOTES "engine convergence A/B")
+        ("train_views", 4),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

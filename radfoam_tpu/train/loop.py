@@ -291,21 +291,22 @@ def collect_error_map(model, step_cfg, data_handler, downsample=2, rng=None):
 
 def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
                  key):
-    """One raster-engine training iteration: a random camera's full image
-    through the differentiable rasterizer (train/raster_step.py)."""
+    """One raster-engine training iteration (train/raster_step.py).
+
+    train_views = 1: a random camera's full image. train_views = G > 1:
+    G full-width strip crops from G random cameras, losses averaged —
+    the raster analog of the reference's mixed-image 1M-ray batches
+    (reference train.py:60-62); the single-view step's one-viewpoint
+    gradients measured 1.47 dB worse on the engine-A/B schedule
+    (DEVNOTES "engine convergence A/B").
+    """
     from radfoam_tpu.ops.raster import RasterConfig
     from radfoam_tpu.train.raster_step import (
         RasterStepConfig,
         make_raster_train_step,
     )
 
-    i_cam = int(cam_rng.integers(handler.rgbs.shape[0]))
-    gt_rgb = jnp.asarray(handler.rgbs[i_cam])
-    gt_alpha = jnp.asarray(
-        handler.alphas[i_cam].reshape(*handler.rgbs.shape[1:3], 1)
-    )
     Wd, Hd = int(handler.img_wh[0]), int(handler.img_wh[1])
-    basis_np, _ = handler.raster_camera(i_cam)
     # exact camera: per-tile direction grid when the dataset's lens
     # departs from the affine model (distorted COLMAP cameras), with the
     # fitted affine intrinsics + conservative margin for binning
@@ -318,25 +319,61 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
         if dir_grid_dev is None:
             dir_grid_dev = jax.device_put(dir_grid_np)
             handler._dir_grid_dev = dir_grid_dev
-    cam_basis = jnp.asarray(basis_np)
-    intrin = jnp.asarray(intrin_np)
+
+    views = max(1, int(getattr(pipeline_args, "train_views", 1)))
+    tile = 16
+    if views > 1 and dir_grid_np is None and Hd // views >= tile:
+        # multi-view crops: the affine intrinsics make a row-crop a pure
+        # principal-point shift (v = ay*(y' + y0) + by); per-tile dir
+        # grids are full-frame arrays, so distorted cameras fall back to
+        # single view
+        Hc = (Hd // views) // tile * tile
+        cams = cam_rng.integers(handler.rgbs.shape[0], size=views)
+        y0s = cam_rng.integers(0, Hd - Hc + 1, size=views)
+        ax, bx, ay, by = (float(v) for v in intrin_np)
+        gt_rgb = jnp.asarray(np.stack(
+            [handler.rgbs[c, y0 : y0 + Hc] for c, y0 in zip(cams, y0s)]
+        ))
+        gt_alpha = jnp.asarray(np.stack(
+            [handler.alphas[c].reshape(Hd, Wd, 1)[y0 : y0 + Hc]
+             for c, y0 in zip(cams, y0s)]
+        ))
+        cam_basis = jnp.asarray(np.stack(
+            [handler.raster_camera(int(c))[0] for c in cams]
+        ))
+        intrin = jnp.asarray(np.stack(
+            [[ax, bx, ay, by + ay * float(y0)] for y0 in y0s]
+        ).astype(np.float32))
+        step_h = Hc
+    else:
+        views = 1
+        i_cam = int(cam_rng.integers(handler.rgbs.shape[0]))
+        gt_rgb = jnp.asarray(handler.rgbs[i_cam])
+        gt_alpha = jnp.asarray(
+            handler.alphas[i_cam].reshape(*handler.rgbs.shape[1:3], 1)
+        )
+        basis_np, _ = handler.raster_camera(i_cam)
+        cam_basis = jnp.asarray(basis_np)
+        intrin = jnp.asarray(intrin_np)
+        step_h = Hd
+
     bb_min, bb_max = model.raster_bounds()
     # pair cap sizes the step's dominant buffers (rows is aliased into
     # its gradient, plus the dnbr channel); overflow truncates with a
     # warning at the periodic sync below
-    cap = pair_capacity(model.capacity, Wd, Hd)
+    cap = pair_capacity(model.capacity, Wd, step_h)
     gp = int(getattr(pipeline_args, "grad_planes", 8))
     if gp <= 0:
         gp = int(model.pad_degree)  # exact: keep every neighbor plane
     rcfg = RasterConfig(
-        sh_degree=model.sh_degree, weight_threshold=1e-3, tile=16,
+        sh_degree=model.sh_degree, weight_threshold=1e-3, tile=tile,
         max_pairs=cap, alpha_cull=0.0, table_k=int(model.pad_degree),
         reorder_window=0, grad_planes=gp,
     )
     rstep = make_raster_train_step(
         RasterStepConfig(
             rcfg, model.activation_scale, model.attr_dtype,
-            pipeline_args.white_background, Wd, Hd,
+            pipeline_args.white_background, Wd, step_h, views=views,
         )
     )
     params, opt_state, metrics = rstep(

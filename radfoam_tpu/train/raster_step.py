@@ -29,19 +29,31 @@ _adam = optax.scale_by_adam(eps=1e-15)
 
 
 class RasterStepConfig:
-    """Hashable static config for make_raster_train_step."""
+    """Hashable static config for make_raster_train_step.
+
+    ``views`` > 1 selects the multi-view step: each iteration renders
+    ``views`` random CROPS (full-width, ``height``-row strips) from
+    ``views`` different cameras and averages the losses — the raster
+    analog of the reference's mixed-image ray batches
+    (reference train.py:60-62, 1M rays drawn across all images). With
+    views = 1 a step's gradient sees a single viewpoint, which measured
+    1.47 dB worse than the walk engine's mixed batches on the same
+    schedule (DEVNOTES "engine convergence A/B"); ``width``/``height``
+    are then the CROP dimensions, not the full image's.
+    """
 
     def __init__(self, raster_config: RasterConfig, activation_scale,
-                 attr_dtype, white_background, width, height):
+                 attr_dtype, white_background, width, height, views=1):
         self.raster_config = raster_config
         self.activation_scale = float(activation_scale)
         self.attr_dtype = jnp.dtype(attr_dtype)
         self.white_background = bool(white_background)
         self.width = int(width)
         self.height = int(height)
+        self.views = int(views)
         self._key = (raster_config, self.activation_scale,
                      str(self.attr_dtype), self.white_background,
-                     self.width, self.height)
+                     self.width, self.height, self.views)
 
     def __hash__(self):
         return hash(self._key)
@@ -105,6 +117,7 @@ def make_raster_train_step(cfg: RasterStepConfig):
     W, H = cfg.width, cfg.height
     ntx, nty = _grid_shape(W, H, rcfg.tile)
     P = rcfg.tile * rcfg.tile
+    G = cfg.views
     loss_core = make_raster_loss(cfg)
 
     @partial(jax.jit, donate_argnums=(0, 1),
@@ -112,14 +125,40 @@ def make_raster_train_step(cfg: RasterStepConfig):
     def step(params, opt_state, nbr_idx, bb_min, bb_max, cam_basis,
              intrin, gt_rgb, gt_alpha, lrs, w_depth, key, dir_grid=None,
              pad_px=0.0, has_dirs=False):
-        quant = jax.random.uniform(key, (ntx * nty, 2, P))
-        quant = -jnp.sort(-quant, axis=1)  # descending (train.py:176-180)
-        intrin_t = tuple(intrin[i] for i in range(4))
+        if G == 1:
+            quant = jax.random.uniform(key, (ntx * nty, 2, P))
+            # descending (train.py:176-180)
+            quant = -jnp.sort(-quant, axis=1)
+            intrin_t = tuple(intrin[i] for i in range(4))
 
-        def loss_fn(p):
-            return loss_core(p, nbr_idx, bb_min, bb_max, cam_basis,
-                             intrin_t, gt_rgb, gt_alpha, quant, w_depth,
-                             dir_grid, pad_px, has_dirs)
+            def loss_fn(p):
+                return loss_core(p, nbr_idx, bb_min, bb_max, cam_basis,
+                                 intrin_t, gt_rgb, gt_alpha, quant,
+                                 w_depth, dir_grid, pad_px, has_dirs)
+
+        else:
+            # multi-view: cam_basis (G, 4, 3), intrin (G, 4),
+            # gt_rgb (G, H, W, 3), gt_alpha (G, H, W, 1) — one crop per
+            # camera, losses averaged so the step's pixel count matches
+            # the single-view step's
+            keys = jax.random.split(key, G)
+
+            def loss_fn(p):
+                loss = color_loss = 0.0
+                n_pairs = jnp.int32(0)
+                for g in range(G):
+                    quant = jax.random.uniform(keys[g], (ntx * nty, 2, P))
+                    quant = -jnp.sort(-quant, axis=1)
+                    intrin_t = tuple(intrin[g, i] for i in range(4))
+                    l_g, (cl_g, np_g) = loss_core(
+                        p, nbr_idx, bb_min, bb_max, cam_basis[g],
+                        intrin_t, gt_rgb[g], gt_alpha[g], quant,
+                        w_depth, dir_grid, pad_px, has_dirs,
+                    )
+                    loss = loss + l_g
+                    color_loss = color_loss + cl_g
+                    n_pairs = jnp.maximum(n_pairs, np_g)
+                return loss / G, (color_loss / G, n_pairs)
 
         (loss, (color_loss, n_pairs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
