@@ -60,6 +60,9 @@ struct Mesh {
     std::vector<float> cert;
     bool certs_valid = false;  // cert margins match the last scan's coords
     std::vector<double> scan_pts;  // coords at the last completed scan
+    std::vector<float> scan_fpts;  // float mirror scratch (see
+                                   // mark_failures_dense; exact for real
+                                   // vertices, rebuilt every dense scan)
 
     const double *P(int32_t v) const { return &pts[3 * (int64_t)v]; }
 
@@ -487,6 +490,295 @@ static inline FaceKey face_key(int32_t x, int32_t y, int32_t z) {
     return FaceKey{x, y, z};
 }
 
+// ----------------------------------------------------------------------
+// Wide float-stage predicate filters for the global-motion scan.
+//
+// Real vertices enter the engine as float32 (foam_build / foam_update)
+// and are stored as doubles unchanged, so casting them back to float is
+// EXACT — a float filter with a certified forward error bound decides
+// the sign of the true determinant for the overwhelming majority of
+// faces, at 16 lanes per vector op (GCC vector extensions; one AVX-512
+// register or two AVX2 halves) and half the coordinate memory traffic
+// of the double table (the 2M-point float mirror mostly fits in L3; the
+// double table does not). Lanes the float stage cannot decide fall back
+// to the scalar double-filter + exact-expansion path, and any predicate
+// involving a super-tet vertex (whose coords are computed in double and
+// are NOT float-exact) is routed to the double path outright, so every
+// decision remains exact. Only the regime where the margin cache is off
+// (global training motion, see mark_failures) uses this stage.
+
+typedef float vfs __attribute__((vector_size(16 * sizeof(float))));
+static const int kFLanes = 16;
+
+static inline vfs vabsf(vfs x) { return x > 0.0f ? x : -x; }
+
+static const float kEpsF = 1.1920928955078125e-07f;  // 2^-23, conservative
+static const float kOrientErrF = (7.0f + 56.0f * kEpsF) * kEpsF;
+static const float kInsphereErrF = (16.0f + 224.0f * kEpsF) * kEpsF;
+
+struct WideOrient {
+    vfs ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz;
+
+    void load(int l, const float *a, const float *b, const float *c,
+              const float *d) {
+        ax[l] = a[0]; ay[l] = a[1]; az[l] = a[2];
+        bx[l] = b[0]; by[l] = b[1]; bz[l] = b[2];
+        cx[l] = c[0]; cy[l] = c[1]; cz[l] = c[2];
+        dx[l] = d[0]; dy[l] = d[1]; dz[l] = d[2];
+    }
+
+    // out[l] = +1/-1 when the float filter certifies the sign, 0 when
+    // the double/exact fallback is required
+    void filter(int cnt, int *out) const {
+        vfs adx = ax - dx, ady = ay - dy, adz = az - dz;
+        vfs bdx = bx - dx, bdy = by - dy, bdz = bz - dz;
+        vfs cdx = cx - dx, cdy = cy - dy, cdz = cz - dz;
+        vfs bdxcdy = bdx * cdy, bdycdx = bdy * cdx;
+        vfs cdxady = cdx * ady, cdyadx = cdy * adx;
+        vfs adxbdy = adx * bdy, adybdx = ady * bdx;
+        vfs det = adz * (bdxcdy - bdycdx) + bdz * (cdxady - cdyadx) +
+                  cdz * (adxbdy - adybdx);
+        vfs permanent =
+            (vabsf(bdxcdy) + vabsf(bdycdx)) * vabsf(adz) +
+            (vabsf(cdxady) + vabsf(cdyadx)) * vabsf(bdz) +
+            (vabsf(adxbdy) + vabsf(adybdx)) * vabsf(cdz);
+        vfs errbound = kOrientErrF * permanent;
+        for (int l = 0; l < cnt; ++l)
+            out[l] = det[l] > errbound[l] ? 1
+                     : det[l] < -errbound[l] ? -1 : 0;
+    }
+};
+
+struct WideInsphere {
+    vfs ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz, ex, ey, ez;
+
+    void load(int l, const float *a, const float *b, const float *c,
+              const float *d, const float *e) {
+        ax[l] = a[0]; ay[l] = a[1]; az[l] = a[2];
+        bx[l] = b[0]; by[l] = b[1]; bz[l] = b[2];
+        cx[l] = c[0]; cy[l] = c[1]; cz[l] = c[2];
+        dx[l] = d[0]; dy[l] = d[1]; dz[l] = d[2];
+        ex[l] = e[0]; ey[l] = e[1]; ez[l] = e[2];
+    }
+
+    void filter(int cnt, int *out) const {
+        vfs aex = ax - ex, aey = ay - ey, aez = az - ez;
+        vfs bex = bx - ex, bey = by - ey, bez = bz - ez;
+        vfs cex = cx - ex, cey = cy - ey, cez = cz - ez;
+        vfs dex = dx - ex, dey = dy - ey, dez = dz - ez;
+
+        vfs ab = aex * bey - bex * aey;
+        vfs bc = bex * cey - cex * bey;
+        vfs cd = cex * dey - dex * cey;
+        vfs da = dex * aey - aex * dey;
+        vfs ac = aex * cey - cex * aey;
+        vfs bd = bex * dey - dex * bey;
+
+        vfs abc = aez * bc - bez * ac + cez * ab;
+        vfs bcd = bez * cd - cez * bd + dez * bc;
+        vfs cda = cez * da + dez * ac + aez * cd;
+        vfs dab = dez * ab + aez * bd + bez * da;
+
+        vfs alift = aex * aex + aey * aey + aez * aez;
+        vfs blift = bex * bex + bey * bey + bez * bez;
+        vfs clift = cex * cex + cey * cey + cez * cez;
+        vfs dlift = dex * dex + dey * dey + dez * dez;
+
+        vfs det = (dlift * abc - clift * dab) + (blift * cda - alift * bcd);
+
+        vfs aezp = vabsf(aez), bezp = vabsf(bez);
+        vfs cezp = vabsf(cez), dezp = vabsf(dez);
+        vfs axbyp = vabsf(aex * bey), bxayp = vabsf(bex * aey);
+        vfs bxcyp = vabsf(bex * cey), cxbyp = vabsf(cex * bey);
+        vfs cxdyp = vabsf(cex * dey), dxcyp = vabsf(dex * cey);
+        vfs dxayp = vabsf(dex * aey), axdyp = vabsf(aex * dey);
+        vfs axcyp = vabsf(aex * cey), cxayp = vabsf(cex * aey);
+        vfs bxdyp = vabsf(bex * dey), dxbyp = vabsf(dex * bey);
+        vfs permanent =
+            ((cxdyp + dxcyp) * bezp + (dxbyp + bxdyp) * cezp +
+             (bxcyp + cxbyp) * dezp) * alift +
+            ((dxayp + axdyp) * cezp + (axcyp + cxayp) * dezp +
+             (cxdyp + dxcyp) * aezp) * blift +
+            ((axbyp + bxayp) * dezp + (bxdyp + dxbyp) * aezp +
+             (dxayp + axdyp) * bezp) * clift +
+            ((bxcyp + cxbyp) * aezp + (cxayp + axcyp) * bezp +
+             (axbyp + bxayp) * cezp) * dlift;
+        vfs errbound = kInsphereErrF * permanent;
+        for (int l = 0; l < cnt; ++l)
+            out[l] = det[l] > errbound[l] ? 1
+                     : det[l] < -errbound[l] ? -1 : 0;
+    }
+};
+
+// Global-motion scan body (margin cache off — see mark_failures for the
+// regime decision): identical marking semantics to the scalar loop, with
+// the per-face predicates batched 16-wide through the float stage above.
+// Faces queue up while the tet walk runs ahead (the two-level prefetch
+// keeps the dependent tet/vertex/apex loads in flight), then resolve in
+// SIMD batches; only filter-ambiguous lanes pay the scalar double path.
+static int64_t mark_failures_dense(Mesh &m, std::vector<uint8_t> &fail,
+                                   const std::vector<uint8_t> &moved,
+                                   bool have_prev) {
+    int64_t ntets = (int64_t)m.tets.size();
+    int64_t n = m.n_real;
+    int64_t n_marked = 0;
+
+    std::vector<float> &fp = m.scan_fpts;
+    fp.resize(m.pts.size());
+    for (size_t i = 0; i < m.pts.size(); ++i) fp[i] = (float)m.pts[i];
+    const float *F = fp.data();
+
+    auto mark = [&](int32_t x) {
+        if (!fail[x]) { fail[x] = 1; ++n_marked; }
+    };
+
+    WideOrient oq = {};
+    int32_t oq_t[kFLanes];
+    int on = 0;
+    WideInsphere iq = {};
+    int32_t iq_t[kFLanes], iq_nb[kFLanes], iq_apex[kFLanes];
+    int in_ = 0;
+
+    auto flush_faces = [&]() {
+        int sg[kFLanes];
+        iq.filter(in_, sg);
+        for (int l = 0; l < in_; ++l) {
+            int s = sg[l];
+            if (s == 0) {
+                const Tet &tt = m.tets[iq_t[l]];
+                s = insphere_sign(m.P(tt.v[0]), m.P(tt.v[1]), m.P(tt.v[2]),
+                                  m.P(tt.v[3]), m.P(iq_apex[l]));
+            }
+            if (s >= 0) { mark(iq_t[l]); mark(iq_nb[l]); }
+        }
+        in_ = 0;
+    };
+
+    // vu = the tet's own vertices are unmoved (orientation + unmoved
+    // faces hold verbatim by the post-repair invariant; only faces with
+    // a moved apex need re-checking)
+    auto emit_faces = [&](int32_t t, const Tet &tet, bool vu) {
+        bool super = tet.v[0] >= n || tet.v[1] >= n || tet.v[2] >= n ||
+                     tet.v[3] >= n;
+        for (int i = 0; i < 4; ++i) {
+            int32_t nb = tet.n[i];
+            if (nb == kNone || nb < t) continue;  // visit once
+            const Tet &other = m.tets[nb];
+            int32_t apex = kNone;
+            for (int j = 0; j < 4; ++j)
+                if (other.n[j] == t) { apex = other.v[j]; break; }
+            if (apex == kNone) {
+                mark(t);
+                mark(nb);
+                continue;
+            }
+            if (vu && !moved[apex]) continue;
+            if (super || apex >= n) {
+                int s = insphere_sign(m.P(tet.v[0]), m.P(tet.v[1]),
+                                      m.P(tet.v[2]), m.P(tet.v[3]),
+                                      m.P(apex));
+                if (s >= 0) { mark(t); mark(nb); }
+                continue;
+            }
+            iq.load(in_, F + 3 * tet.v[0], F + 3 * tet.v[1],
+                    F + 3 * tet.v[2], F + 3 * tet.v[3], F + 3 * apex);
+            iq_t[in_] = t;
+            iq_nb[in_] = nb;
+            iq_apex[in_] = apex;
+            if (++in_ == kFLanes) flush_faces();
+        }
+    };
+
+    auto flush_orient = [&]() {
+        int sg[kFLanes];
+        oq.filter(on, sg);
+        int n_keep = on;
+        on = 0;  // before emit_faces can refill anything
+        for (int l = 0; l < n_keep; ++l) {
+            int32_t t = oq_t[l];
+            const Tet &tet = m.tets[t];
+            int s = sg[l];
+            if (s == 0)
+                s = orient3d_sign(m.P(tet.v[0]), m.P(tet.v[1]),
+                                  m.P(tet.v[2]), m.P(tet.v[3]));
+            if (s <= 0) {
+                mark(t);
+                continue;  // matches the scalar loop: no face checks
+            }
+            emit_faces(t, tet, false);
+        }
+    };
+
+    for (int64_t t = 0; t < ntets; ++t) {
+        const int64_t PF1 = 16, PF2 = 6;
+        if (t + PF1 < ntets) {
+            const Tet &ft = m.tets[t + PF1];
+            if (ft.alive) {
+                for (int i = 0; i < 4; ++i) {
+                    __builtin_prefetch(&F[3 * ft.v[i]]);
+                    if (ft.n[i] >= (int32_t)(t + PF1))
+                        __builtin_prefetch(&m.tets[ft.n[i]]);
+                }
+            }
+        }
+        if (t + PF2 < ntets) {
+            const Tet &ft = m.tets[t + PF2];
+            if (ft.alive) {
+                for (int i = 0; i < 4; ++i) {
+                    int32_t nb = ft.n[i];
+                    if (nb < (int32_t)(t + PF2)) continue;
+                    const Tet &other = m.tets[nb];
+                    for (int j = 0; j < 4; ++j)
+                        if (other.n[j] == (int32_t)(t + PF2)) {
+                            __builtin_prefetch(&F[3 * other.v[j]]);
+                            break;
+                        }
+                }
+            }
+        }
+        const Tet &tet = m.tets[t];
+        if (!tet.alive) continue;
+        bool vu = have_prev && !moved[tet.v[0]] && !moved[tet.v[1]] &&
+                  !moved[tet.v[2]] && !moved[tet.v[3]];
+        if (vu) {
+            bool all_ok = true;
+            for (int i = 0; i < 4 && all_ok; ++i) {
+                int32_t nb = tet.n[i];
+                if (nb == kNone || nb < (int32_t)t) continue;
+                const Tet &other = m.tets[nb];
+                int32_t apex = kNone;
+                for (int j = 0; j < 4; ++j)
+                    if (other.n[j] == (int32_t)t) {
+                        apex = other.v[j];
+                        break;
+                    }
+                if (apex == kNone || moved[apex]) all_ok = false;
+            }
+            if (all_ok) continue;
+            emit_faces((int32_t)t, tet, true);
+            continue;
+        }
+        if (tet.v[0] >= n || tet.v[1] >= n || tet.v[2] >= n ||
+            tet.v[3] >= n) {
+            int s = orient3d_sign(m.P(tet.v[0]), m.P(tet.v[1]),
+                                  m.P(tet.v[2]), m.P(tet.v[3]));
+            if (s <= 0) {
+                mark((int32_t)t);
+                continue;
+            }
+            emit_faces((int32_t)t, tet, false);
+            continue;
+        }
+        oq.load(on, F + 3 * tet.v[0], F + 3 * tet.v[1], F + 3 * tet.v[2],
+                F + 3 * tet.v[3]);
+        oq_t[on] = (int32_t)t;
+        if (++on == kFLanes) flush_orient();
+    }
+    flush_orient();
+    flush_faces();
+    return n_marked;
+}
+
 // mark every tet violating orientation or local Delaunayness (both sides
 // of a failing face are marked). Returns the number of marked tets.
 //
@@ -555,6 +847,14 @@ static int64_t mark_failures(Mesh &m, std::vector<uint8_t> &fail) {
         m.cert.resize((size_t)ntets * 10, 0.0f);
     }
     m.certs_valid = store_certs;
+
+    if (!use_certs && !store_certs) {
+        // global-motion regime: no margins to maintain — take the
+        // 16-lane float-stage scan (exact decisions, see above)
+        int64_t r = mark_failures_dense(m, fail, moved, have_prev);
+        m.scan_pts = m.pts;
+        return r;
+    }
 
     auto row_R3 = [&](const Tet &t) {
         const double *d = m.P(t.v[3]);

@@ -140,21 +140,33 @@ def make_raster_train_step(cfg: RasterStepConfig):
             # multi-view: cam_basis (G, 4, 3), intrin (G, 4),
             # gt_rgb (G, H, W, 3), gt_alpha (G, H, W, 1) — one crop per
             # camera, losses averaged so the step's pixel count matches
-            # the single-view step's
+            # the single-view step's. Each view is rematerialized
+            # (jax.checkpoint): unrolled VJPs would keep all G crops'
+            # pair buffers + intersection residuals live simultaneously
+            # through the backward pass (~G full-frame renders of HBM —
+            # measured OOM at 131k points, G=4, on the 16 GB chip);
+            # remat recomputes each view's forward inside its own VJP so
+            # the peak is ONE view's residuals, same as the single-view
+            # step the chip already handles at 262k points.
             keys = jax.random.split(key, G)
+
+            def view_loss(g, p):
+                quant = jax.random.uniform(keys[g], (ntx * nty, 2, P))
+                quant = -jnp.sort(-quant, axis=1)
+                intrin_t = tuple(intrin[g, i] for i in range(4))
+                return loss_core(
+                    p, nbr_idx, bb_min, bb_max, cam_basis[g],
+                    intrin_t, gt_rgb[g], gt_alpha[g], quant,
+                    w_depth, dir_grid, pad_px, has_dirs,
+                )
 
             def loss_fn(p):
                 loss = color_loss = 0.0
                 n_pairs = jnp.int32(0)
                 for g in range(G):
-                    quant = jax.random.uniform(keys[g], (ntx * nty, 2, P))
-                    quant = -jnp.sort(-quant, axis=1)
-                    intrin_t = tuple(intrin[g, i] for i in range(4))
-                    l_g, (cl_g, np_g) = loss_core(
-                        p, nbr_idx, bb_min, bb_max, cam_basis[g],
-                        intrin_t, gt_rgb[g], gt_alpha[g], quant,
-                        w_depth, dir_grid, pad_px, has_dirs,
-                    )
+                    l_g, (cl_g, np_g) = jax.checkpoint(
+                        partial(view_loss, g)
+                    )(p)
                     loss = loss + l_g
                     color_loss = color_loss + cl_g
                     n_pairs = jnp.maximum(n_pairs, np_g)
