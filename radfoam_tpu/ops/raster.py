@@ -214,24 +214,11 @@ def _fisheye_rect(cx, cy, cz, dist, e_norm, fov, *, width, height):
     return px_min, px_max, py_min, py_max
 
 
-def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
-              *, width, height, cfg, pad_px=0.0):
-    """Expand visible cells into depth-sorted per-tile cell lists.
-
-    bb_min/bb_max: (N, 3) world-space AABBs of each cell's finite Voronoi
-    extent (ops/cellbound.cell_bounds). Padding rows must collapse to a
-    point (zero extent). intrin = (ax, bx, ay, by) affine pixel
-    intrinsics (fov_intrin / dataset_intrin); under cfg.cam_model=FISHEYE
-    only intrin[0] is read, as the fov. ``pad_px`` expands every cell's
-    screen rect — pass dirgrid.fit_affine_intrin's margin when the
-    composite runs on an exact direction grid so affine binning stays
-    conservative for the true (distorted) camera.
-
-    Returns (sorted_cell (M,) int32, sorted_key (M,) f32,
-    tile_starts (n_tiles+1,) int32, n_pairs () int32). Pairs beyond
-    ``cfg.max_pairs`` are dropped — callers must check ``n_pairs`` and
-    either raise or re-run with a larger cap (no silent truncation policy).
-    """
+def _bin_expand(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
+                *, width, height, cfg, pad_px=0.0):
+    """bin_pairs' expansion half: visible-cell screen rects -> the (M,)
+    fused u32 sort keys + per-slot cell ids (pre-sort). Split out so the
+    profiler can time expansion vs the sort (tools/profile_raster.py)."""
     TS = cfg.tile
     ntx, nty = _grid_shape(width, height, TS)
     n_tiles = ntx * nty
@@ -362,7 +349,33 @@ def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
         | auxp[:, 3].astype(jnp.uint32),
         jnp.uint32(n_tiles) << depth_bits,
     )
+    return fused, cell, key_cell, n_pairs, depth_bits
 
+
+def bin_pairs(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
+              *, width, height, cfg, pad_px=0.0):
+    """Expand visible cells into depth-sorted per-tile cell lists.
+
+    bb_min/bb_max: (N, 3) world-space AABBs of each cell's finite Voronoi
+    extent (ops/cellbound.cell_bounds). Padding rows must collapse to a
+    point (zero extent). intrin = (ax, bx, ay, by) affine pixel
+    intrinsics (fov_intrin / dataset_intrin); under cfg.cam_model=FISHEYE
+    only intrin[0] is read, as the fov. ``pad_px`` expands every cell's
+    screen rect — pass dirgrid.fit_affine_intrin's margin when the
+    composite runs on an exact direction grid so affine binning stays
+    conservative for the true (distorted) camera.
+
+    Returns (sorted_cell (M,) int32, sorted_key (M,) f32,
+    tile_starts (n_tiles+1,) int32, n_pairs () int32). Pairs beyond
+    ``cfg.max_pairs`` are dropped — callers must check ``n_pairs`` and
+    either raise or re-run with a larger cap (no silent truncation policy).
+    """
+    ntx, nty = _grid_shape(width, height, cfg.tile)
+    n_tiles = ntx * nty
+    fused, cell, key_cell, n_pairs, depth_bits = _bin_expand(
+        bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
+        width=width, height=height, cfg=cfg, pad_px=pad_px,
+    )
     fused_s, cell_s = jax.lax.sort((fused, cell), num_keys=1)
     starts = jnp.searchsorted(
         fused_s,
@@ -1601,19 +1614,38 @@ def relayout_pairs(cell_s, starts, *, width, height, cfg):
         cap_pad = -(-cfg.tile_list_cap // CE) * CE
         lens = jnp.minimum(lens_src, cfg.tile_list_cap)
         Mp = n_tiles * cap_pad
-        # per-tile values expand to the uniform-stride layout as FREE
-        # broadcasts (2D (n_tiles, cap_pad) views) — a take() with the
-        # equivalent j // cap_pad indices is a row-rate-bound gather
-        # (~45 M rows/s), which made the index relayout cost 3x the row
-        # gather it feeds (43.6 ms vs 13.7 ms at 783k rows, prof r5)
+        # Each tile's slice of the sorted stream is CONSECUTIVE, so the
+        # copy is a segment move, not a random gather. TPU gathers are
+        # row-rate bound (~45 M rows/s — a per-element take() here
+        # measured 30 ms, 2x the row gather it feeds), so gather GW
+        # consecutive elements per row instead: two grouped row takes
+        # (the tile offset straddles a group boundary) plus GW static
+        # shift-selects reassemble every segment at 1/GW the row count.
+        GW = 8
+        n_grp = cap_pad // GW
+        Mg = -(-M // GW)
+        cs8 = jnp.pad(cell_s, (0, Mg * GW - M)).reshape(Mg, GW)
+        o = (
+            starts[:-1, None]
+            + jnp.arange(n_grp, dtype=jnp.int32)[None, :] * GW
+        )  # (T, n_grp) segment offsets into the sorted stream
+        q = jnp.minimum(o // GW, Mg - 1)
+        A = jnp.take(cs8, q.reshape(-1), axis=0)
+        B = jnp.take(cs8, jnp.minimum(q + 1, Mg - 1).reshape(-1), axis=0)
+        C = jnp.concatenate([A, B], axis=1).reshape(
+            n_tiles, n_grp, 2 * GW
+        )
+        r_t = (starts[:-1] % GW)[:, None, None]  # (T, 1, 1) phase
+        picked = C[:, :, 0:GW] * (r_t == 0)
+        for r in range(1, GW):
+            picked = picked + C[:, :, r : r + GW] * (r_t == r)
         slot = jnp.broadcast_to(
             jnp.arange(cap_pad, dtype=jnp.int32)[None, :],
             (n_tiles, cap_pad),
         )
         valid = slot < lens[:, None]
-        src = jnp.minimum(starts[:-1, None] + slot, M - 1)
         cell_p = jnp.where(
-            valid, jnp.take(cell_s, src.reshape(Mp)).reshape(src.shape), 0
+            valid, picked.reshape(n_tiles, cap_pad), 0
         ).reshape(Mp)
         nstarts = (
             jnp.arange(n_tiles + 1, dtype=jnp.int32) * cap_pad

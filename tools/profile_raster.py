@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--cm", type=int, default=0,
                     help="merge_chunk (0 = entry_chunk)")
     ap.add_argument("--tile", type=int, default=16, help="tile edge px")
+    ap.add_argument("--binsplit", action="store_true",
+                    help="also time bin_pairs' expansion vs sort halves")
     args = ap.parse_args()
     W, H = args.width, args.height
 
@@ -118,6 +120,22 @@ def main():
     cell_s, key_cell, starts, n_pairs = out
     print(f"bin+sort: {t_bin*1000:.1f} ms  n_pairs={int(n_pairs)}",
           flush=True)
+
+    if args.binsplit:
+        # expansion half alone, then the sort alone on its outputs
+        exp_fn = jax.jit(lambda b0, b1, dd, p, f, r, u: R._bin_expand(
+            b0, b1, dd, p, f, r, u, intrin, width=W, height=H, cfg=cfg))
+        t_exp, eo = timed(
+            exp_fn, (bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up),
+            args.reps, lambda o: o[3])
+        fused, cell = eo[0], eo[1]
+        sort_fn = jax.jit(
+            lambda f, c: jax.lax.sort((f, c), num_keys=1))
+        t_sort, _ = timed(sort_fn, (fused, cell), args.reps,
+                          lambda o: o[1][:2])
+        print(f"  bin split: expand {t_exp*1000:.1f} ms, "
+              f"sort {t_sort*1000:.1f} ms "
+              f"(M={fused.shape[0]})", flush=True)
 
     lens_np = np.asarray(starts[1:] - starts[:-1])
     nz = lens_np[lens_np > 0]
