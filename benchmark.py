@@ -90,17 +90,23 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
         # entry tile cap are 49.5 dB vs the exact sorted-merge render —
         # the fp16-attrs-analog inference tradeoff (reference
         # benchmark.py:35-54). bf16 rows halve table + DMA bytes.
-        # pair capacity sized like the training engine: scales with BOTH
-        # point count and image area (measured up to 8.5 pairs/point at
-        # 131k on 800x800 — a point-count-only cap truncates mid-size
-        # scenes silently); overflow is checked on EVERY pose below.
+        # capacities are DERIVED per checkpoint, not hand-tuned: a stats
+        # sizing pass (generous caps) bins every benchmark pose, then
+        # max_pairs = measured max + 30% and tile_list_cap = 2x the
+        # deepest early-exit consumption (raster.size_caps). The generous
+        # sizing cap itself scales with BOTH point count and image area
+        # (pair_capacity: measured up to 8.5 pairs/point at 131k on
+        # 800x800 — a point-count-only cap truncates mid-size scenes).
         from radfoam_tpu.train.loop import pair_capacity
 
-        cap = pair_capacity(pts_np.shape[0], width, height)
-        rcfg = R.RasterConfig(
+        base_cfg = dict(
             sh_degree=model.sh_degree, weight_threshold=0.05,
-            alpha_cull=1e-3, max_pairs=cap, table_k=int(table.shape[1]),
-            tile=32, tile_list_cap=384, reorder_window=0,
+            alpha_cull=1e-3, table_k=int(table.shape[1]),
+            tile=32, reorder_window=0,
+        )
+        sizing_cfg = R.RasterConfig(
+            max_pairs=2 * pair_capacity(pts_np.shape[0], width, height),
+            tile_list_cap=0, stats=True, **base_cfg,
         )
         rtable = jax.jit(
             lambda p, a, t, b0, b1: R.build_scene_table(
@@ -115,26 +121,41 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
         bbmax_d = jnp.asarray(bb_max)
         dens_d = jnp.asarray(attrs_np[:, -1].astype(np.float32))
 
-        # staged frame: a fresh fused-frame compile can exceed HBM on
-        # multi-million-point checkpoints (see raster.render_frame_staged)
-        raster_fn = lambda pos, fwd, rgt, up: R.render_frame_staged(
-            rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-            jnp.float32(fov), width=width, height=height, cfg=rcfg)
         frames = [
             tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
                   (c.position, c.forward, c.right, c.up))
             for c in cams
         ]
 
-        # overflow is pose-dependent (each pose bins a different frustum):
-        # check every pose once up front, not just frames[0]
+        # sizing pass over every benchmark pose (overflow is
+        # pose-dependent: each pose bins a different frustum)
+        render_sz = lambda pos, fwd, rgt, up: R.render_frame_staged(
+            rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+            jnp.float32(fov), width=width, height=height, cfg=sizing_cfg)
+        max_pairs, tile_list_cap = R.size_caps(
+            frames, render_sz, sizing_cfg.entry_chunk
+        )
+        print(f"derived caps: max_pairs={max_pairs} "
+              f"tile_list_cap={tile_list_cap}")
+        rcfg = R.RasterConfig(
+            max_pairs=max_pairs, tile_list_cap=tile_list_cap, **base_cfg
+        )
+
+        # staged frame: a fresh fused-frame compile can exceed HBM on
+        # multi-million-point checkpoints (see raster.render_frame_staged)
+        raster_fn = lambda pos, fwd, rgt, up: R.render_frame_staged(
+            rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
+            jnp.float32(fov), width=width, height=height, cfg=rcfg)
+
+        # derived caps must hold on the timed pass — refuse truncation
         for fi, fr in enumerate(frames):
             img, n_pairs, _ = raster_fn(*fr)
             jax.block_until_ready(img)
             if int(n_pairs) > rcfg.max_pairs:
-                print(f"warning: pair overflow on pose {fi} "
-                      f"({int(n_pairs)} > {rcfg.max_pairs}); image is "
-                      "incomplete — rerun with a larger cap")
+                raise SystemExit(
+                    f"pair overflow on pose {fi} ({int(n_pairs)} > "
+                    f"{rcfg.max_pairs}): derived caps failed"
+                )
         render = lambda i: raster_fn(*frames[i])[0]
     else:
         cfg = TraceConfig(

@@ -80,11 +80,13 @@ class PipelineParams(ParamGroup):
         # results in DEVNOTES "grad_planes A/B"
         ("grad_planes", 8),
         # raster engine: crops from this many different cameras per step
-        # (losses averaged) — the raster analog of the reference's
-        # mixed-image 1M-ray batches (reference train.py:60-62). 1 = one
-        # full camera per step, which measured 1.47 dB below the walk
-        # engine's mixed batches (DEVNOTES "engine convergence A/B")
-        ("train_views", 4),
+        # (losses averaged) — built as the raster analog of the
+        # reference's mixed-image 1M-ray batches (reference
+        # train.py:60-62), but the A/B measured 4 strip-crops WORSE than
+        # one full camera per step (15.71 vs 17.33 dB, DEVNOTES "engine
+        # convergence A/B round 5") — the gap to the walk engine is not
+        # batch mixing. Default stays at the measured-best 1.
+        ("train_views", 1),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

@@ -1342,10 +1342,13 @@ def _composite_tile_body(cfg, K, A, width, height, has_dirs, use_bitonic,
         [rgb_r, rgb_g, rgb_b, 1.0 - T], axis=0
     )
     if cfg.stats:
-        # processed-entry diagnostic: chunks consumed before early exit
-        aux_ref[0] = (
-            jnp.zeros((1, P), jnp.float32) + c_f.astype(jnp.float32) * CE
+        # processed-entry diagnostic: chunks consumed before early exit,
+        # clamped to the tile's live list length (background tiles run
+        # the grid's padded chunk bound without consuming entries)
+        proc = jnp.minimum(
+            c_f.astype(jnp.float32) * CE, length.astype(jnp.float32)
         )
+        aux_ref[0] = jnp.zeros((1, P), jnp.float32) + proc
     else:
         aux_ref[0] = forced
 
@@ -1774,7 +1777,10 @@ def _staged_fns(width, height, cfg, K, A, has_dirs):
         img = tiles_to_image(
             tiles, width=width, height=height, tile=cfg.tile
         )
-        return img, jnp.sum(forced)
+        # stats mode reports the DEEPEST per-tile consumption (the
+        # quantity cap sizing needs); otherwise the forced-pop total
+        aux = jnp.max(forced) if cfg.stats else jnp.sum(forced)
+        return img, aux
 
     return bin_j, gather_j, comp_j
 
@@ -1825,6 +1831,34 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
     else:
         img, forced = comp_j(rows, nstarts, lens, cam, dir_grid)
     return img, n_pairs, forced
+
+
+def size_caps(frames, render_sz, entry_chunk):
+    """Derive per-scene (max_pairs, tile_list_cap) from a sizing pass.
+
+    The reference sizes its per-ray intersection buffer with a fixed
+    max_intersections (pipeline.h:15-19) and benchmarks arbitrary trained
+    checkpoints (benchmark.py:22-139); capacities here are measured per
+    scene instead of hand-tuned: ``render_sz`` must be the staged render
+    under a GENEROUS config (large max_pairs, tile_list_cap=0, stats=True)
+    so its aux channel reports per-tile consumed entries. Every pose in
+    ``frames`` is binned; the returned caps are
+
+    - max_pairs: the measured pose maximum + 30%, entry-chunk aligned;
+    - tile_list_cap: 2x the deepest early-exit consumption (the composite
+      never reads past its exit point, so 2x headroom bounds truncation).
+    """
+    max_np, max_proc = 0, 0
+    for f in frames:
+        _img, n_pairs, proc = render_sz(*f)
+        max_np = max(max_np, int(jax.device_get(n_pairs)))
+        max_proc = max(
+            max_proc, int(np.max(np.asarray(jax.device_get(proc))))
+        )
+    ce = int(entry_chunk)
+    max_pairs = -(-int(1.3 * max_np) // ce) * ce
+    tile_list_cap = max(-(-2 * max_proc // ce) * ce, 2 * ce)
+    return max_pairs, tile_list_cap
 
 
 def build_scene_table(points, attrs, nbr_idx, bb_min, bb_max, *,

@@ -389,3 +389,50 @@ def test_ce32_submerge_matches_ce16():
     np.testing.assert_allclose(
         np.asarray(img32), np.asarray(img16), atol=2e-5, rtol=1e-5
     )
+
+
+def test_size_caps_derivation():
+    """size_caps derives per-scene capacities from the stats sizing pass:
+    max_pairs covers every pose with 30% headroom, tile_list_cap is 2x
+    the deepest consumption, and the capped timed render is bit-identical
+    to the uncapped one (the cap never truncates below the early exit)."""
+    pts, attrs, table, bounds = build_scene(n_points=900, saturate=True)
+    W = H = 32
+    K = int(table.shape[1])
+    base = dict(sh_degree=2, weight_threshold=0.01, tile=16,
+                alpha_cull=1e-3, table_k=K, reorder_window=0,
+                interpret=True)
+    sizing = R.RasterConfig(max_pairs=1 << 16, tile_list_cap=0,
+                            stats=True, **base)
+    rtable = R.build_scene_table(
+        jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+    )
+    b0, b1 = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
+    dens = jnp.asarray(attrs[:, -1])
+    frames = []
+    for eye in ((0.4, 0.3, 0.2), (-0.5, 0.1, 0.3)):
+        cam, _ = cam_setup(pts, W, H, eye=eye)
+        frames.append(tuple(
+            jnp.asarray(np.asarray(x, np.float32))
+            for x in (cam.position, cam.forward, cam.right, cam.up)
+        ))
+    fov = jnp.float32(1.1)
+    rsz = lambda p, f, r, u: R.render_frame_staged(
+        rtable, b0, b1, dens, p, f, r, u, fov,
+        width=W, height=H, cfg=sizing)
+    max_pairs, cap = R.size_caps(frames, rsz, sizing.entry_chunk)
+    CE = sizing.entry_chunk
+    assert max_pairs % CE == 0 and cap % CE == 0 and cap >= 2 * CE
+
+    capped = R.RasterConfig(max_pairs=max_pairs, tile_list_cap=cap,
+                            **base)
+    uncapped = R.RasterConfig(max_pairs=1 << 16, tile_list_cap=0, **base)
+    for f in frames:
+        img_c, n_pairs, _ = R.render_frame_staged(
+            rtable, b0, b1, dens, *f, fov, width=W, height=H, cfg=capped)
+        img_u, _, _ = R.render_frame_staged(
+            rtable, b0, b1, dens, *f, fov, width=W, height=H,
+            cfg=uncapped)
+        assert int(n_pairs) <= max_pairs
+        np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_u))
