@@ -87,6 +87,10 @@ class PipelineParams(ParamGroup):
         # convergence A/B round 5") — the gap to the walk engine is not
         # batch mixing. Default stays at the measured-best 1.
         ("train_views", 1),
+        # walk engine: rays per SGD step (reference train.py:61 hardcodes
+        # 1M mixed-image rays). Exposed as a knob for engine A/Bs that
+        # equalize the per-step pixel budget between engines.
+        ("rays_per_batch", 1_000_000),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

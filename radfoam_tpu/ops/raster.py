@@ -300,11 +300,19 @@ def _bin_expand(bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
     n_pairs = offs[-1]
     offs0 = offs - counts  # exclusive
 
-    # depth key: conservative lower bound of per-pixel t_in (unit-direction
-    # ray parameter >= metric distance to the bounding sphere). The key is
-    # per CELL (camera-dependent but tile-independent).
+    # depth key, per CELL (camera-dependent but tile-independent).
+    # reorder_window > 0 (exact-order mode): conservative lower bound of
+    # per-pixel t_in (distance to the bounding sphere) — the sorted-merge
+    # kernel's safe-emission proof REQUIRES key <= true t_in.
+    # reorder_window == 0 (list-order mode): nothing downstream consumes
+    # the bound, so use the distance to the cell center — an interval-
+    # MIDPOINT proxy. A ray's cell intervals are disjoint (Voronoi), so
+    # ordering by any interior point is exact; the center tracks the
+    # midpoint far better than the sphere bound tracks t_in, which
+    # collapses to near-zero for the large overlapping cells of early
+    # training (32k points) and scrambles the composite order.
     dist = jnp.linalg.norm(rel, axis=-1)
-    key_cell = dist - e_norm
+    key_cell = dist if cfg.reorder_window == 0 else dist - e_norm
 
     # single fused u32 sort key: tile (13 bits for <=8192 tiles) | depth
     # quantized to the remaining bits. One-key sorts are ~2x cheaper on TPU

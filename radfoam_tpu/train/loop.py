@@ -427,7 +427,11 @@ def train(args, pipeline_args, model_args, optimizer_args, dataset_args,
     iter2downsample = dict(
         zip(dataset_args.downsample_iterations, dataset_args.downsample)
     )
-    train_data_handler = handler_cls(dataset_args, rays_per_batch=1_000_000)
+    train_data_handler = handler_cls(
+        dataset_args,
+        rays_per_batch=int(getattr(pipeline_args, "rays_per_batch",
+                                   1_000_000)),
+    )
     downsample = iter2downsample[0]
     train_data_handler.reload(split="train", downsample=downsample)
 
