@@ -79,14 +79,17 @@ class PipelineParams(ParamGroup):
         # per pair (0 = exact, S=K). A/B numbers: tools/grad_planes_ab.py,
         # results in DEVNOTES "grad_planes A/B"
         ("grad_planes", 8),
-        # raster engine: crops from this many different cameras per step
-        # (losses averaged) — built as the raster analog of the
-        # reference's mixed-image 1M-ray batches (reference
-        # train.py:60-62), but the A/B measured 4 strip-crops WORSE than
-        # one full camera per step (15.71 vs 17.33 dB, DEVNOTES "engine
-        # convergence A/B round 5") — the gap to the walk engine is not
-        # batch mixing. Default stays at the measured-best 1.
-        ("train_views", 1),
+        # raster engine: cameras per step (losses averaged). 0 = auto:
+        # G FULL frames with G*W*H ~ rays_per_batch, the raster analog of
+        # the reference's 1M mixed-image ray batches (train.py:60-62).
+        # G>1 selects G strip CROPS totalling one frame's pixels — that
+        # arm measured WORSE than one full camera (15.71 vs 17.33 dB).
+        # The lever is per-step CELL COVERAGE, not pixel count or view
+        # mixing: on the probe schedule walk@160k rays = walk@1M rays
+        # (15.03/15.02 dB) but 1 full view = 10.45 and 6 full views =
+        # 14.16 (DEVNOTES "engine convergence A/B round 5"). Auto full
+        # frames is the default; costs ~G x the single-view step.
+        ("train_views", 0),
         # walk engine: rays per SGD step (reference train.py:61 hardcodes
         # 1M mixed-image rays). Exposed as a knob for engine A/Bs that
         # equalize the per-step pixel budget between engines.

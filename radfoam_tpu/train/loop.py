@@ -320,16 +320,30 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
             dir_grid_dev = jax.device_put(dir_grid_np)
             handler._dir_grid_dev = dir_grid_dev
 
-    views = max(1, int(getattr(pipeline_args, "train_views", 1)))
+    views = int(getattr(pipeline_args, "train_views", 1))
+    full_views = views == 0
+    if full_views:
+        # auto: G FULL frames per step so the step's pixel budget matches
+        # the walk engine's rays_per_batch (reference train.py:61 draws
+        # 1M mixed-image rays per step; one 400x400 view is 6x less data
+        # per update — measured 4.6 dB worse on the probe schedule,
+        # DEVNOTES "engine convergence A/B round 5, batch size").
+        rpb = int(getattr(pipeline_args, "rays_per_batch", 1_000_000))
+        views = max(1, min(int(round(rpb / float(Wd * Hd))),
+                           int(handler.rgbs.shape[0]), 8))
+    views = max(1, views)
     tile = 16
-    if views > 1 and dir_grid_np is None and Hd // views >= tile:
-        # multi-view crops: the affine intrinsics make a row-crop a pure
-        # principal-point shift (v = ay*(y' + y0) + by); per-tile dir
-        # grids are full-frame arrays, so distorted cameras fall back to
-        # single view
-        Hc = (Hd // views) // tile * tile
+    if views > 1 and (full_views
+                      or (dir_grid_np is None and Hd // views >= tile)):
+        # multi-view strip crops: the affine intrinsics make a row-crop a
+        # pure principal-point shift (v = ay*(y' + y0) + by); per-tile
+        # dir grids are full-frame arrays, so distorted cameras fall back
+        # to single view for CROPS — full-frame views reuse the shared
+        # grid as-is
+        Hc = Hd if full_views else (Hd // views) // tile * tile
         cams = cam_rng.integers(handler.rgbs.shape[0], size=views)
-        y0s = cam_rng.integers(0, Hd - Hc + 1, size=views)
+        y0s = (np.zeros(views, np.int64) if full_views
+               else cam_rng.integers(0, Hd - Hc + 1, size=views))
         ax, bx, ay, by = (float(v) for v in intrin_np)
         gt_rgb = jnp.asarray(np.stack(
             [handler.rgbs[c, y0 : y0 + Hc] for c, y0 in zip(cams, y0s)]

@@ -116,6 +116,10 @@ def _common_flags(blender_dataset):
         "--sh_degree", "1",
         "--init_points", "512",
         "--final_points", "1024",
+        # single-view steps: the auto multi-view default (train_views 0)
+        # would run G=6 full frames per step on these tiny images — 6x
+        # the CPU smoke-run cost for no extra coverage of the CLI surface
+        "--train_views", "1",
     ]
 
 
