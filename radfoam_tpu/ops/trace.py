@@ -466,7 +466,16 @@ def _backward_chunk(cfg, lay, packed, points, attrs, rays, start, quant,
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    # flush the buffered attribute contribution of each ray's final cell
+    # flush the buffered attribute contribution of each ray's final cell.
+    # Deliberately REFERENCE semantics: the position gradients still in
+    # the register pipeline (prev_grad for the last flushed-attr cell,
+    # cur_grad for the terminal cell) are dropped, exactly like the
+    # reference backward, whose per-ray functor never flushes
+    # prev_point_grad after the trace loop ends (pipeline.cu:284-343).
+    # Finite differences show the true loss gradient w.r.t. those hull/
+    # terminal cell positions is nonzero (DEVNOTES "engine convergence
+    # A/B round 5"); frozen-points A/Bs show the omission does not affect
+    # convergence, so parity wins over mathematical completeness here.
     tail = st["prev_idx"] >= 0
     tail_vals = jnp.concatenate(
         [st["pend_attr"], jnp.zeros((R, 3), jnp.float32)], axis=-1
