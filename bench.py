@@ -24,8 +24,11 @@ import numpy as np
 
 N_POINTS = 2_097_152
 SH = 3
+ALPHA_CULL = 1e-3
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_scene_2m.npz")
+CACHE_V2 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_scene_2m_v2.npz")
 
 
 def build_scene():
@@ -45,6 +48,31 @@ def build_scene():
     return pts, attrs, table, bb_min, bb_max
 
 
+def build_scene_compacted():
+    """build_scene + clamp_bounds + scene-static visibility compaction
+    (raster.visibility_compact): potentially-visible cells first, so the
+    per-frame binning only touches the first n_visible rows (~25% at
+    this scene). Cached separately — the 2M x 72 adjacency remap is a
+    one-time host pass."""
+    if os.path.exists(CACHE_V2):
+        z = np.load(CACHE_V2)
+        return (z["pts"], z["attrs"], z["table"], z["bb_min"],
+                z["bb_max"], int(z["nv"]))
+
+    from radfoam_tpu.ops.cellbound import clamp_bounds
+    from radfoam_tpu.ops.raster import visibility_compact
+
+    pts, attrs, table, bb_min, bb_max = build_scene()
+    bb_min, bb_max, _ = clamp_bounds(pts, bb_min, bb_max)
+    dens = attrs[:, -1].astype(np.float32)
+    pts, attrs, table, bb_min, bb_max, _dens, nv = visibility_compact(
+        pts, attrs, table, bb_min, bb_max, dens, ALPHA_CULL
+    )
+    np.savez(CACHE_V2, pts=pts, attrs=attrs, table=table,
+             bb_min=bb_min, bb_max=bb_max, nv=nv)
+    return pts, attrs, table, bb_min, bb_max, nv
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -57,12 +85,9 @@ def main():
     n_reps = 5
 
     t0 = time.time()
-    pts, attrs, table, bb_min, bb_max = build_scene()
-    from radfoam_tpu.ops.cellbound import clamp_bounds
-
-    bb_min, bb_max, clamp_r = clamp_bounds(pts, bb_min, bb_max)
+    pts, attrs, table, bb_min, bb_max, nv = build_scene_compacted()
     print(f"scene ready in {time.time()-t0:.0f}s (K={table.shape[1]}, "
-          f"bound clamp r={clamp_r:.3f})", file=sys.stderr)
+          f"n_visible={nv}/{len(pts)})", file=sys.stderr)
 
     # tile=32 (1024-lane tiles): halves the pair count vs tile=16 (2.46M
     # -> 1.12M — less perimeter waste per cell) which shrinks the sort,
@@ -83,12 +108,16 @@ def main():
     # it; the timed pass asserts zero truncation below).
     base = dict(
         sh_degree=SH, weight_threshold=0.05, tile=32,
-        alpha_cull=1e-3, table_k=int(table.shape[1]), reorder_window=0,
+        alpha_cull=ALPHA_CULL, table_k=int(table.shape[1]),
+        reorder_window=0,
     )
     sizing_cfg = R.RasterConfig(max_pairs=1 << 22, tile_list_cap=0,
                                 stats=True, **base)
-    bbmin_d = jnp.asarray(bb_min)
-    bbmax_d = jnp.asarray(bb_max)
+    # the binning stages only touch the potentially-visible prefix of
+    # the compacted scene (bench scene: 530k of 2.1M rows); the row
+    # table stays full so the composite's cell ids index it directly
+    bbmin_d = jnp.asarray(bb_min[:nv])
+    bbmax_d = jnp.asarray(bb_max[:nv])
 
     @jax.jit
     def _build(p, a, t, b0, b1):
@@ -97,12 +126,12 @@ def main():
 
     rtable = _build(
         jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table),
-        bbmin_d, bbmax_d,
+        jnp.asarray(bb_min), jnp.asarray(bb_max),
     )
     # real sync (block_until_ready is unreliable over the tunnel): the
     # build's multi-GB temps must retire before the frame stages dispatch
     _ = jax.device_get(rtable[:2, :2])
-    dens_d = jnp.asarray(attrs[:, -1].astype(np.float32))
+    dens_d = jnp.asarray(attrs[:nv, -1].astype(np.float32))
 
     frames = []
     for v in range(n_frames):
@@ -115,29 +144,34 @@ def main():
             (cam.position, cam.forward, cam.right, cam.up)
         ))
 
-    # ---- sizing pass: generous caps + stats, every pose ----
+    # ---- sizing pass: generous caps + stats, every pose. Derives
+    # per-pose PER-TILE gather caps from the composite's measured
+    # early-exit consumption (exact: the timed pass consumes the same
+    # list prefix) and keeps each pose's image to assert exactness below.
     render_sz = lambda pos, fwd, rgt, up: R.render_frame_staged(
         rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
         jnp.float32(1.0), width=width, height=height, cfg=sizing_cfg)
-    max_pairs, tile_list_cap = R.size_caps(
+    tile_caps, mp_cap, max_pairs, ref_imgs = R.size_tile_caps(
         frames, render_sz, sizing_cfg.entry_chunk
     )
-    print(f"derived caps: max_pairs={max_pairs} "
-          f"tile_list_cap={tile_list_cap}", file=sys.stderr)
-    cfg = R.RasterConfig(max_pairs=max_pairs, tile_list_cap=tile_list_cap,
-                         **base)
+    print(f"derived caps: max_pairs={max_pairs} mp_cap={mp_cap}",
+          file=sys.stderr)
+    cfg = R.RasterConfig(max_pairs=max_pairs, **base)
+    caps_d = [jnp.asarray(c) for c in tile_caps]
 
     # staged renderer: three chained jits, still fully async — a fresh
     # compile of the single fused frame graph at 2M points can land a
     # memory plan exceeding the 16 GB HBM (see raster.render_frame_staged)
-    render = lambda pos, fwd, rgt, up: R.render_frame_staged(
+    render = lambda pos, fwd, rgt, up, caps: R.render_frame_staged(
         rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-        jnp.float32(1.0), width=width, height=height, cfg=cfg)
+        jnp.float32(1.0), width=width, height=height, cfg=cfg,
+        tile_caps=caps, mp_cap=mp_cap)
 
-    # warmup (compile + cache); the timed pass refuses truncation
+    # warmup (compile + cache); the timed pass refuses truncation and
+    # asserts the consumption-capped render matches the sizing render
     for i, f in enumerate(frames):
-        img, n_pairs, forced = render(*f)
-        jax.block_until_ready(img)
+        img, n_pairs, forced = render(*f, caps_d[i])
+        img = np.asarray(jax.device_get(img))
         if i == 0:
             print(f"n_pairs={int(n_pairs)} (cap {cfg.max_pairs}) "
                   f"forced={float(jnp.sum(forced))}", file=sys.stderr)
@@ -146,13 +180,20 @@ def main():
                 f"pair-capacity overflow on pose {i}: {int(n_pairs)} > "
                 f"{cfg.max_pairs} — derived caps failed, image incomplete"
             )
+        maxdiff = float(np.max(np.abs(img - ref_imgs[i])))
+        if maxdiff > 1e-5:
+            raise SystemExit(
+                f"consumption-capped render diverged on pose {i}: "
+                f"maxdiff={maxdiff} — tile_caps truncated a live list"
+            )
 
     # NB: block_until_ready over the axon tunnel does not reliably wait
     # for remote completion; a device_get of the queue tail does.
-    _ = jax.device_get(render(*frames[0])[0][:2, :2])
+    _ = jax.device_get(render(*frames[0], caps_d[0])[0][:2, :2])
     t0 = time.perf_counter()
     for _ in range(n_reps):
-        imgs = [render(*f)[0] for f in frames]
+        imgs = [render(*f, caps_d[i])[0]
+                for i, f in enumerate(frames)]
     _ = jax.device_get(imgs[-1][:2, :2])
     t1 = time.perf_counter()
 

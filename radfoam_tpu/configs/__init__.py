@@ -94,6 +94,12 @@ class PipelineParams(ParamGroup):
         # 1M mixed-image rays). Exposed as a knob for engine A/Bs that
         # equalize the per-step pixel budget between engines.
         ("rays_per_batch", 1_000_000),
+        # raster engine: touched-row-masked Adam (LazyAdam semantics) —
+        # cells outside the step's camera frusta keep their moments and
+        # take no update, emulating the per-cell optimizer dynamics of
+        # the walk engine's iid ray batches (every walk step touches
+        # every cell). A/B numbers in DEVNOTES "engine convergence A/B".
+        ("lazy_adam", False),
         ("experiment_name", ""),
         ("debug", False),
         ("viewer", False),

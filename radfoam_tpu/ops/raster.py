@@ -979,11 +979,29 @@ def _chunk_entries(pre, dir_rows, chunk_t, deg_col, n_in_list, CE,
     t_out = jnp.full((CE, P), jnp.inf, jnp.float32)
     t_in = jnp.zeros((CE, P), jnp.float32)
     t_out, t_in = block(0, t_out, t_in)  # degree >= 4: always live
-    for kb in range(KB, K, KB):
-        t_out, t_in = jax.lax.cond(
-            kb < degm_c,
-            lambda to, ti, kb=kb: block(kb, to, ti),
-            lambda to, ti: (to, ti),
+    n_extra = (K - 1) // KB  # extra 8-plane blocks past the first
+    if n_extra > 0:
+        # ONE scalar branch (lax.switch on the extra-block count) instead
+        # of a chain of K/8 - 1 lax.conds: each cond costs ~0.11 us of
+        # scalar-unit stall (DEVNOTES round-3 kernel facts), so the chain
+        # burned ~1 us per chunk at K = 72 while the selected branch runs
+        # the same gated plane math. Semantics unchanged: branch n runs
+        # blocks kb = KB..n*KB, exactly the blocks the cond chain ran for
+        # ceil(degm/KB) = n + 1.
+        nb = jnp.clip(
+            ((degm_c + (KB - 1)) // KB).astype(jnp.int32) - 1,
+            0, n_extra,
+        )
+
+        def make_branch(n):
+            def br(to, ti):
+                for j in range(1, n + 1):
+                    to, ti = block(j * KB, to, ti)
+                return to, ti
+            return br
+
+        t_out, t_in = jax.lax.switch(
+            nb, [make_branch(n) for n in range(n_extra + 1)],
             t_out, t_in,
         )
 
@@ -1600,7 +1618,8 @@ def build_row_table(rpacked, bb_min, bb_max, *, sh_degree,
     return jnp.pad(table, ((0, 0), (0, W_pad - table.shape[1])))
 
 
-def relayout_pairs(cell_s, starts, *, width, height, cfg):
+def relayout_pairs(cell_s, starts, *, width, height, cfg, tile_caps=None,
+                   mp_cap=0):
     """Re-layout sorted pairs so every tile list starts CE-aligned.
 
     Mosaic DMA slice starts must honor the (8, 128) HBM tiling, so each
@@ -1609,13 +1628,24 @@ def relayout_pairs(cell_s, starts, *, width, height, cfg):
     (jnp.repeat lowers to a binary-search gather — measured ~250 ms at 4M
     pairs). Returns (cell_p (Mp,) int32 gather indices, nstarts
     (n_tiles+1,) aligned offsets, lens (n_tiles,) true lengths).
+
+    tile_caps: optional (n_tiles,) int32 PER-TILE list caps (ragged
+    layout), with ``mp_cap`` the static total row capacity. This is the
+    consumption-sized gather: a sizing pass measures how deep the
+    composite's early exit actually consumes each tile's list
+    (size_tile_caps), and the timed pass then gathers only that prefix
+    (+margin) instead of every binned pair — the composite never reads
+    past its exit point, so the image is bit-identical while the gather
+    shrinks from all pairs to ~consumed rows (measured 16x fewer at the
+    2M bench scene). Callers must verify nstarts[-1] <= mp_cap (overflow
+    would silently clip the deepest tiles).
     """
     CE = cfg.entry_chunk
     ntx, nty = _grid_shape(width, height, cfg.tile)
     n_tiles = ntx * nty
     M = cell_s.shape[0]
     lens_src = starts[1:] - starts[:-1]  # (T,) spacing in the sorted stream
-    if cfg.tile_list_cap > 0:
+    if tile_caps is None and cfg.tile_list_cap > 0:
         # keep each tile's nearest `cap` cells (depth-sorted prefix) —
         # the padded buffer then has a scene-independent static bound AND
         # a uniform stride: tile t owns [t*cap_pad, (t+1)*cap_pad). That
@@ -1662,8 +1692,14 @@ def relayout_pairs(cell_s, starts, *, width, height, cfg):
             jnp.arange(n_tiles + 1, dtype=jnp.int32) * cap_pad
         )
         return cell_p, nstarts, lens
-    lens = lens_src
-    Mp = cfg.max_pairs + CE * n_tiles  # static worst-case capacity
+    if tile_caps is not None:
+        if mp_cap <= 0:
+            raise ValueError("tile_caps requires a static mp_cap > 0")
+        lens = jnp.minimum(lens_src, tile_caps)
+        Mp = int(mp_cap)
+    else:
+        lens = lens_src
+        Mp = cfg.max_pairs + CE * n_tiles  # static worst-case capacity
     plens = -(-lens // CE) * CE
     nstarts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(plens).astype(jnp.int32)]
@@ -1763,15 +1799,16 @@ render_frame = partial(
 
 
 @lru_cache(maxsize=8)
-def _staged_fns(width, height, cfg, K, A, has_dirs):
+def _staged_fns(width, height, cfg, K, A, has_dirs, mp_cap=0):
     bin_j = jax.jit(
         partial(bin_pairs, width=width, height=height, cfg=cfg)
     )
 
     @jax.jit
-    def gather_j(rows_table, cell_s, starts):
+    def gather_j(rows_table, cell_s, starts, tile_caps=None):
         cell_p, nstarts, lens = relayout_pairs(
-            cell_s, starts, width=width, height=height, cfg=cfg
+            cell_s, starts, width=width, height=height, cfg=cfg,
+            tile_caps=tile_caps, mp_cap=mp_cap,
         )
         return jnp.take(rows_table, cell_p, axis=0), nstarts, lens
 
@@ -1785,9 +1822,9 @@ def _staged_fns(width, height, cfg, K, A, has_dirs):
         img = tiles_to_image(
             tiles, width=width, height=height, tile=cfg.tile
         )
-        # stats mode reports the DEEPEST per-tile consumption (the
-        # quantity cap sizing needs); otherwise the forced-pop total
-        aux = jnp.max(forced) if cfg.stats else jnp.sum(forced)
+        # stats mode reports the PER-TILE consumption vector (cap-sizing
+        # input, size_tile_caps); otherwise the forced-pop total
+        aux = forced[:, 0, 0] if cfg.stats else jnp.sum(forced)
         return img, aux
 
     return bin_j, gather_j, comp_j
@@ -1795,7 +1832,8 @@ def _staged_fns(width, height, cfg, K, A, has_dirs):
 
 def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
                         rgt, up, fov, *, width, height, cfg,
-                        dir_grid=None, pad_px=0.0, intrin=None):
+                        dir_grid=None, pad_px=0.0, intrin=None,
+                        tile_caps=None, mp_cap=0):
     """render_frame split into three chained jits (bin / gather /
     composite).
 
@@ -1819,7 +1857,7 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
             f"rows_table width {Wt} inconsistent with table_k={K}"
         )
     bin_j, gather_j, comp_j = _staged_fns(
-        width, height, cfg, K, A, dir_grid is not None
+        width, height, cfg, K, A, dir_grid is not None, int(mp_cap)
     )
     if intrin is None:
         intrin = fov_intrin(
@@ -1829,7 +1867,11 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
         bb_min, bb_max, density, pos, fwd, rgt, up, intrin,
         pad_px=jnp.asarray(pad_px, jnp.float32),
     )
-    rows, nstarts, lens = gather_j(rows_table, cell_s, starts)
+    if tile_caps is None:
+        rows, nstarts, lens = gather_j(rows_table, cell_s, starts)
+    else:
+        rows, nstarts, lens = gather_j(rows_table, cell_s, starts,
+                                       tile_caps)
     cam = jnp.concatenate(
         [pos, fwd, rgt, up]
         + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
@@ -1839,6 +1881,70 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
     else:
         img, forced = comp_j(rows, nstarts, lens, cam, dir_grid)
     return img, n_pairs, forced
+
+
+def visibility_compact(points, attrs, nbr_idx, bb_min, bb_max, density,
+                       alpha_cull):
+    """Scene-static visibility compaction (host-side, numpy).
+
+    ``alpha_cull`` is camera-independent — sigma * 2R < cull means the
+    cell is invisible from EVERY pose — so the culled set can be decided
+    once per scene instead of re-filtered inside every frame's binning.
+    Reorders the scene so all potentially-visible cells come first and
+    returns the permuted arrays plus n_visible; callers then hand
+    bin_pairs only the first n_visible rows of bb_min/bb_max/density
+    (cell ids stay valid: they index the equally-permuted row table).
+    At the 2M trained-like bench scene this shrinks every N-proportional
+    binning pass 4x (530k of 2.1M cells survive the cull).
+
+    Returns (points, attrs, nbr_idx, bb_min, bb_max, density, n_visible),
+    all permuted copies; nbr_idx is remapped through the permutation
+    (self-index padding maps to the new self-index automatically).
+    """
+    points = np.asarray(points)
+    attrs = np.asarray(attrs)
+    nbr_idx = np.asarray(nbr_idx)
+    bb_min = np.asarray(bb_min)
+    bb_max = np.asarray(bb_max)
+    density = np.asarray(density)
+    e_norm = np.linalg.norm(0.5 * (bb_max - bb_min), axis=-1)
+    keep = (density * (2.0 * e_norm) >= alpha_cull) & (e_norm > 0)
+    order = np.argsort(~keep, kind="stable").astype(np.int32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0], dtype=np.int32)
+    return (points[order], attrs[order], inv[nbr_idx[order]],
+            bb_min[order], bb_max[order], density[order],
+            int(keep.sum()))
+
+
+def size_tile_caps(frames, render_sz, entry_chunk, margin_chunks=1):
+    """Derive per-pose PER-TILE gather caps from a stats-mode sizing pass.
+
+    render_sz must run the staged render with generous caps and
+    cfg.stats=True so its aux channel is the per-tile consumed-entry
+    vector. For each pose this returns caps = consumed + margin (entry-
+    chunk aligned) — the composite deterministically consumes the same
+    list prefix on the timed pass, so gathering only that prefix is
+    exact. Also returns the static total row capacity mp_cap (max over
+    poses of the summed aligned caps) and each pose's sizing image so
+    callers can assert the capped render is unchanged.
+
+    Returns (tile_caps_list [(n_tiles,) i32 per pose], mp_cap, max_pairs,
+    images [np arrays per pose]).
+    """
+    ce = int(entry_chunk)
+    caps_list, imgs = [], []
+    mp_cap, max_np = 0, 0
+    for f in frames:
+        img, n_pairs, proc = render_sz(*f)
+        proc = np.asarray(jax.device_get(proc)).astype(np.int64)
+        imgs.append(np.asarray(jax.device_get(img)))
+        max_np = max(max_np, int(jax.device_get(n_pairs)))
+        caps = (-(-proc // ce) + int(margin_chunks)) * ce
+        caps_list.append(caps.astype(np.int32))
+        mp_cap = max(mp_cap, int(caps.sum()))
+    max_pairs = -(-int(1.3 * max_np) // ce) * ce
+    return caps_list, int(mp_cap), max_pairs, imgs
 
 
 def size_caps(frames, render_sz, entry_chunk):

@@ -388,6 +388,7 @@ def _raster_step(model, pipeline_args, handler, cam_rng, lrs, w_depth,
         RasterStepConfig(
             rcfg, model.activation_scale, model.attr_dtype,
             pipeline_args.white_background, Wd, step_h, views=views,
+            lazy_adam=bool(getattr(pipeline_args, "lazy_adam", False)),
         )
     )
     params, opt_state, metrics = rstep(

@@ -28,6 +28,50 @@ from radfoam_tpu.train.step import scrub_grads
 _adam = optax.scale_by_adam(eps=1e-15)
 
 
+def _lazy_adam_update(grads, state, params):
+    """Touched-row-masked Adam (TF LazyAdam semantics, global-count bias
+    correction): rows of a parameter table that received NO gradient this
+    step keep their first/second moments verbatim and take no update.
+
+    Why: a raster step only touches the cells inside its cameras'
+    frusta, so under plain Adam every untouched cell's momentum decays
+    (b1^k) and its second moment drifts between visits — per-cell
+    optimizer dynamics the walk engine's iid 1M-ray batches never see
+    (every walk step touches essentially every cell; DEVNOTES "engine
+    convergence A/B round 5"). Masking makes each cell's Adam trajectory
+    a function of its own visit sequence, like a sparse-embedding
+    optimizer, instead of the global step count.
+
+    All four parameter tables are row-per-cell (models/scene.py:39), so
+    one (C, 1) touched mask — any nonzero gradient component in any
+    table — gates them all.
+    """
+    b1, b2, eps = 0.9, 0.999, 1e-15
+    touched = None
+    for g in grads.values():
+        t = jnp.any(g != 0.0, axis=-1, keepdims=True)
+        touched = t if touched is None else (touched | t)
+
+    mu = jax.tree.map(
+        lambda m, g: jnp.where(touched, b1 * m + (1.0 - b1) * g, m),
+        state.mu, grads,
+    )
+    nu = jax.tree.map(
+        lambda v, g: jnp.where(touched, b2 * v + (1.0 - b2) * g * g, v),
+        state.nu, grads,
+    )
+    count = state.count + 1
+    c1 = 1.0 - b1 ** count.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count.astype(jnp.float32)
+    updates = jax.tree.map(
+        lambda m, v: jnp.where(
+            touched, (m / c1) / (jnp.sqrt(v / c2) + eps), 0.0
+        ),
+        mu, nu,
+    )
+    return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+
 class RasterStepConfig:
     """Hashable static config for make_raster_train_step.
 
@@ -43,7 +87,8 @@ class RasterStepConfig:
     """
 
     def __init__(self, raster_config: RasterConfig, activation_scale,
-                 attr_dtype, white_background, width, height, views=1):
+                 attr_dtype, white_background, width, height, views=1,
+                 lazy_adam=False):
         self.raster_config = raster_config
         self.activation_scale = float(activation_scale)
         self.attr_dtype = jnp.dtype(attr_dtype)
@@ -51,9 +96,10 @@ class RasterStepConfig:
         self.width = int(width)
         self.height = int(height)
         self.views = int(views)
+        self.lazy_adam = bool(lazy_adam)
         self._key = (raster_config, self.activation_scale,
                      str(self.attr_dtype), self.white_background,
-                     self.width, self.height, self.views)
+                     self.width, self.height, self.views, self.lazy_adam)
 
     def __hash__(self):
         return hash(self._key)
@@ -176,7 +222,11 @@ def make_raster_train_step(cfg: RasterStepConfig):
             loss_fn, has_aux=True
         )(params)
         grads = scrub_grads(grads)
-        updates, opt_state = _adam.update(grads, opt_state, params)
+        if cfg.lazy_adam:
+            updates, opt_state = _lazy_adam_update(grads, opt_state,
+                                                   params)
+        else:
+            updates, opt_state = _adam.update(grads, opt_state, params)
         params = jax.tree.map(
             lambda p, u, lr: p - lr * u, params, updates,
             {k: lrs[k] for k in params},

@@ -436,3 +436,75 @@ def test_size_caps_derivation():
             cfg=uncapped)
         assert int(n_pairs) <= max_pairs
         np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_u))
+
+
+def test_relayout_tile_caps_and_visibility_compact():
+    """Per-tile gather caps (consumption-sized gather): relayout with a
+    tile_caps vector equals manual per-tile prefix truncation at each
+    tile's own cap; visibility_compact preserves the rendered image."""
+    pts, attrs, table, bounds = build_scene(n_points=900, saturate=True)
+    W = H = 32
+    cam, _ = cam_setup(pts, W, H)
+    K = int(table.shape[1])
+    base = dict(sh_degree=2, weight_threshold=0.01, tile=16,
+                max_pairs=1 << 16, interpret=True, table_k=K)
+    cfg = R.RasterConfig(**base)
+    intrin = R.fov_intrin(jnp.float32(cam.fov), width=W, height=H)
+    cell_s, _k, starts, _n = R.bin_pairs(
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+        jnp.asarray(attrs[:, -1]),
+        jnp.asarray(cam.position), jnp.asarray(cam.forward),
+        jnp.asarray(cam.right), jnp.asarray(cam.up), intrin,
+        width=W, height=H, cfg=cfg,
+    )
+    n_tiles = (W // 16) * (H // 16)
+    rng = np.random.default_rng(3)
+    CE = cfg.entry_chunk
+    caps = (rng.integers(1, 5, n_tiles) * CE).astype(np.int32)
+    mp_cap = int((-(-caps // CE) * CE).sum()) + CE
+    cell_p, nstarts, lens = R.relayout_pairs(
+        cell_s, starts, width=W, height=H, cfg=cfg,
+        tile_caps=jnp.asarray(caps), mp_cap=mp_cap,
+    )
+    cell_p = np.asarray(cell_p)
+    cs, st = np.asarray(cell_s), np.asarray(starts)
+    assert int(nstarts[-1]) <= mp_cap
+    for t in range(n_tiles):
+        want = cs[st[t] : min(st[t] + int(caps[t]), st[t + 1])]
+        got = cell_p[int(nstarts[t]) : int(nstarts[t]) + int(lens[t])]
+        np.testing.assert_array_equal(got, want)
+        assert int(lens[t]) == want.size
+
+    # visibility compaction: same image through the full render
+    args = (jnp.asarray(bounds[0]), jnp.asarray(bounds[1]),
+            jnp.asarray(attrs[:, -1]),
+            jnp.asarray(cam.position), jnp.asarray(cam.forward),
+            jnp.asarray(cam.right), jnp.asarray(cam.up),
+            jnp.float32(cam.fov))
+    cull = 1e-3
+    cfgc = R.RasterConfig(**base, alpha_cull=cull)
+    rtable = R.build_row_table(
+        R.pack_raster_table(
+            jnp.asarray(pts), jnp.asarray(attrs), jnp.asarray(table)
+        ),
+        jnp.asarray(bounds[0]), jnp.asarray(bounds[1]), sh_degree=2,
+    )
+    img0, _, _ = R.render_frame(rtable, *args, width=W, height=H,
+                                cfg=cfgc)
+    cpts, cattrs, ctable, cbb0, cbb1, cdens, nvis = R.visibility_compact(
+        pts, attrs, table, bounds[0], bounds[1], attrs[:, -1], cull
+    )
+    assert 0 < nvis <= len(pts)
+    rtable_c = R.build_row_table(
+        R.pack_raster_table(
+            jnp.asarray(cpts), jnp.asarray(cattrs), jnp.asarray(ctable)
+        ),
+        jnp.asarray(cbb0), jnp.asarray(cbb1), sh_degree=2,
+    )
+    img1, _, _ = R.render_frame(
+        rtable_c, jnp.asarray(cbb0[:nvis]), jnp.asarray(cbb1[:nvis]),
+        jnp.asarray(cdens[:nvis]),
+        *args[3:], width=W, height=H, cfg=cfgc,
+    )
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=1e-5)

@@ -124,3 +124,45 @@ def test_collect_error_map_shapes(synthetic):
     assert np.isfinite(err).all()
     assert (contrib >= 0).all()
     assert contrib[: model.n_points].max() > 0
+
+
+def test_lazy_adam_matches_adam_on_touched_rows():
+    """_lazy_adam_update == optax adam for rows touched every step;
+    untouched rows keep moments verbatim and take no update."""
+    import optax
+    from radfoam_tpu.train.raster_step import _lazy_adam_update
+
+    rng = np.random.default_rng(0)
+    C = 16
+    params = {
+        "primal_points": jnp.asarray(rng.standard_normal((C, 3)),
+                                     jnp.float32),
+        "density": jnp.asarray(rng.standard_normal((C, 1)), jnp.float32),
+    }
+    adam = optax.scale_by_adam(eps=1e-15)
+    st_ref = adam.init(params)
+    st_lazy = adam.init(params)
+
+    touched = np.zeros((C,), bool)
+    touched[: C // 2] = True  # rows 0..7 touched every step, 8..15 never
+    for i in range(3):
+        g = {
+            k: jnp.asarray(
+                rng.standard_normal(v.shape) * touched[:, None],
+                jnp.float32,
+            )
+            for k, v in params.items()
+        }
+        u_ref, st_ref = adam.update(g, st_ref, params)
+        u_lazy, st_lazy = _lazy_adam_update(g, st_lazy, params)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(u_lazy[k])[: C // 2],
+                np.asarray(u_ref[k])[: C // 2], rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(u_lazy[k])[C // 2 :], 0.0
+            )
+            np.testing.assert_array_equal(
+                np.asarray(st_lazy.mu[k])[C // 2 :], 0.0
+            )
