@@ -152,7 +152,7 @@ def main():
         rtable, bbmin_d, bbmax_d, dens_d, pos, fwd, rgt, up,
         jnp.float32(1.0), width=width, height=height, cfg=sizing_cfg)
     tile_caps, mp_cap, max_pairs, ref_imgs = R.size_tile_caps(
-        frames, render_sz, sizing_cfg.entry_chunk
+        frames, render_sz, sizing_cfg.entry_chunk, pair_margin=1.1
     )
     print(f"derived caps: max_pairs={max_pairs} mp_cap={mp_cap}",
           file=sys.stderr)

@@ -1917,7 +1917,8 @@ def visibility_compact(points, attrs, nbr_idx, bb_min, bb_max, density,
             int(keep.sum()))
 
 
-def size_tile_caps(frames, render_sz, entry_chunk, margin_chunks=1):
+def size_tile_caps(frames, render_sz, entry_chunk, margin_chunks=1,
+                   pair_margin=1.3):
     """Derive per-pose PER-TILE gather caps from a stats-mode sizing pass.
 
     render_sz must run the staged render with generous caps and
@@ -1943,7 +1944,10 @@ def size_tile_caps(frames, render_sz, entry_chunk, margin_chunks=1):
         caps = (-(-proc // ce) + int(margin_chunks)) * ce
         caps_list.append(caps.astype(np.int32))
         mp_cap = max(mp_cap, int(caps.sum()))
-    max_pairs = -(-int(1.3 * max_np) // ce) * ce
+    # binning is deterministic per (scene, pose), and callers hard-fail
+    # on overflow, so the margin only covers caller-side pose jitter;
+    # the static cap sizes the sort, the binning's dominant cost
+    max_pairs = -(-int(pair_margin * max_np) // ce) * ce
     return caps_list, int(mp_cap), max_pairs, imgs
 
 
