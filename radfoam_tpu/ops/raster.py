@@ -1833,7 +1833,7 @@ def _staged_fns(width, height, cfg, K, A, has_dirs, mp_cap=0):
 def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
                         rgt, up, fov, *, width, height, cfg,
                         dir_grid=None, pad_px=0.0, intrin=None,
-                        tile_caps=None, mp_cap=0):
+                        tile_caps=None, mp_cap=0, cam_packed=None):
     """render_frame split into three chained jits (bin / gather /
     composite).
 
@@ -1844,6 +1844,12 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
     memory plan that exceeds the 16 GB v5e HBM, while the staged pieces
     compile and fit reliably. Use this for big scenes; render_frame
     remains the one-call path for everything else.
+
+    ``cam_packed`` (with ``intrin``) lets a caller hoist the per-pose
+    16-float camera vector out of a timed loop: on a tunnel-attached
+    device every tiny helper op (intrinsics math, reshape, concatenate)
+    is its own host->device dispatch, and on a single-core host those
+    ~10 dispatches per frame can rival the three real stage launches.
     """
     N, Wt = rows_table.shape
     A = 1 + 3 * (cfg.sh_degree + 1) ** 2
@@ -1872,10 +1878,14 @@ def render_frame_staged(rows_table, bb_min, bb_max, density, pos, fwd,
     else:
         rows, nstarts, lens = gather_j(rows_table, cell_s, starts,
                                        tile_caps)
-    cam = jnp.concatenate(
-        [pos, fwd, rgt, up]
-        + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,)) for v in intrin]
-    )
+    if cam_packed is None:
+        cam = jnp.concatenate(
+            [pos, fwd, rgt, up]
+            + [jnp.reshape(jnp.asarray(v, jnp.float32), (1,))
+               for v in intrin]
+        )
+    else:
+        cam = cam_packed
     if dir_grid is None:
         img, forced = comp_j(rows, nstarts, lens, cam)
     else:
